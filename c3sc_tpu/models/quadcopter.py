@@ -1,0 +1,94 @@
+"""Quadcopter: 6D planar-quadrotor stochastic hover/MPC — the target config.
+
+Reference: ``c3sc/examples`` quadcopter system (6–7D) (line n/a, empty mount;
+SURVEY.md §2.1; BASELINE.json configs[4] — "rank-adaptive FT +
+receding-horizon replan").
+
+Planar quadrotor, state (x, z, th, vx, vz, om), controls (u1, u2) = rotor
+thrusts in [0, u_max]:
+
+    x'  = vx                     vx' = -(u1 + u2) sin(th) / m      + noise
+    z'  = vz                     vz' =  (u1 + u2) cos(th) / m - g  + noise
+    th' = om                     om' =  arm (u1 - u2) / inertia    + noise
+
+Quadratic stage cost to hover at the origin.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from c3sc_tpu.models.base import Boundary, ControlProblem
+
+
+def make_quadcopter_problem(
+    mass: float = 0.5,
+    inertia: float = 0.01,
+    arm: float = 0.17,
+    gconst: float = 9.81,
+    sigma_v: float = 0.25,
+    sigma_om: float = 0.25,
+    beta: float = 0.2,
+    u_max: float = 6.0,
+    pos_max: float = 2.0,
+    th_max: float = 1.0,
+    vel_max: float = 3.0,
+    om_max: float = 4.0,
+    w_pos: float = 2.0,
+    w_th: float = 1.0,
+    w_vel: float = 0.2,
+    w_om: float = 0.1,
+    w_u: float = 0.02,
+    exit_cost: float = 100.0,
+) -> ControlProblem:
+    hover = 0.5 * mass * gconst  # per-rotor hover thrust (cost reference)
+
+    def drift(x, u):
+        th, vx, vz, om = x[2], x[3], x[4], x[5]
+        thrust = u[0] + u[1]
+        return jnp.stack(
+            [
+                vx,
+                vz,
+                om,
+                -thrust * jnp.sin(th) / mass,
+                thrust * jnp.cos(th) / mass - gconst,
+                arm * (u[0] - u[1]) / inertia,
+            ]
+        )
+
+    def diff(x, u):
+        L = jnp.zeros((6, 3))
+        L = L.at[3, 0].set(sigma_v)
+        L = L.at[4, 1].set(sigma_v)
+        L = L.at[5, 2].set(sigma_om)
+        return L
+
+    def stage_cost(x, u):
+        pos = x[0] ** 2 + x[1] ** 2
+        du = (u[0] - hover) ** 2 + (u[1] - hover) ** 2
+        return (
+            w_pos * pos
+            + w_th * x[2] ** 2
+            + w_vel * (x[3] ** 2 + x[4] ** 2)
+            + w_om * x[5] ** 2
+            + w_u * du
+        )
+
+    def boundary_cost(x):
+        return jnp.asarray(exit_cost)
+
+    return ControlProblem(
+        dx=6, du=2, dw=3,
+        lb=(-pos_max, -pos_max, -th_max, -vel_max, -vel_max, -om_max),
+        ub=(pos_max, pos_max, th_max, vel_max, vel_max, om_max),
+        boundary=(
+            Boundary.ABSORB, Boundary.ABSORB, Boundary.REFLECT,
+            Boundary.REFLECT, Boundary.REFLECT, Boundary.REFLECT,
+        ),
+        ulb=(0.0, 0.0), uub=(u_max, u_max),
+        drift=drift, diff=diff,
+        stage_cost=stage_cost, boundary_cost=boundary_cost,
+        beta=beta, name="quadcopter",
+    )

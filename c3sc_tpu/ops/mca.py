@@ -1,0 +1,82 @@
+"""Kushner–Dupuis Markov-chain-approximation transition stencil.
+
+TPU-native re-design of the reference's MCA core (``c3sc/src/tensmarkov.c``
+``transition_assemble`` — line n/a, empty mount; SURVEY.md §2.1): from drift
+f(x,u), diagonal diffusion variance sigma^2(x,u) and grid spacings h, build
+the locally consistent upwind transition probabilities to the 2*dx axis
+neighbors and the interpolation interval dt(x,u):
+
+    Q_j  = sigma2_j / h_j^2 + |f_j| / h_j,        Q = sum_j Q_j
+    p+_j = (sigma2_j / (2 h_j^2) + max(f_j, 0) / h_j) / Q
+    p-_j = (sigma2_j / (2 h_j^2) + max(-f_j, 0) / h_j) / Q
+    dt   = 1 / Q
+
+Probabilities are nonnegative and sum to exactly 1 (no self transition);
+local consistency: E[dx] = f dt, E[dx^2] = sigma2 dt + O(h dt).
+
+Unlike the reference — which hand-codes d(p)/du and d(dt)/du
+(``tensmarkov.c`` gradient variants) — everything here is plain JAX, so
+gradients w.r.t. u come from ``jax.grad`` for free and the whole stencil is
+vmappable over nodes x controls.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from c3sc_tpu.grids import Grid
+from c3sc_tpu.models.base import Boundary, ControlProblem
+
+_EPS = 1e-10
+
+
+def transition(problem: ControlProblem, grid: Grid, x, u):
+    """Unbatched stencil at one (x [d], u [m]).
+
+    Returns (p_plus [d], p_minus [d], dt scalar).
+    """
+    f = problem.drift(x, u)
+    s2 = problem.sigma2_diag(x, u)
+    h = jnp.asarray(grid.h, dtype=f.dtype)
+    diffpart = 0.5 * s2 / h**2
+    qj = 2.0 * diffpart + jnp.abs(f) / h
+    q = jnp.sum(qj) + _EPS
+    p_plus = (diffpart + jnp.maximum(f, 0.0) / h) / q
+    p_minus = (diffpart + jnp.maximum(-f, 0.0) / h) / q
+    dt = 1.0 / q
+    return p_plus, p_minus, dt
+
+
+def transition_batch(problem: ControlProblem, grid: Grid, x, u):
+    """Stencil batched over arbitrary leading axes of x [..., d], u [..., m]."""
+    fn = lambda xx, uu: transition(problem, grid, xx, uu)
+    for _ in range(x.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(x, u)
+
+
+def node_terminal(problem: ControlProblem, grid: Grid, idx, x):
+    """Classify grid nodes as terminal (absorbing) and give their pinned value.
+
+    Reference: boundary-regime queries in ``c3sc/src/boundary.c`` (line n/a;
+    SURVEY.md §2.1). A node is terminal iff it lies on the face of a
+    dimension whose external boundary is ABSORB, or inside an obstacle
+    rectangle. Terminal value: obstacle cost if inside an obstacle (obstacles
+    take precedence — they are *internal* absorbing regions), else the
+    boundary exit cost psi(x).
+
+    Args:
+      idx: [..., d] int node indices.  x: [..., d] node states.
+    Returns:
+      (terminal_mask [...], terminal_value [...]).
+    """
+    n = jnp.asarray(grid.shape, jnp.int32)
+    on_face = jnp.zeros(idx.shape[:-1], dtype=bool)
+    for k in range(problem.dx):
+        if problem.boundary[k] == Boundary.ABSORB:
+            on_face = on_face | (idx[..., k] == 0) | (idx[..., k] == n[k] - 1)
+    in_obs = problem.in_obstacle(x)
+    psi = jax.vmap(problem.boundary_cost)(x.reshape(-1, problem.dx)).reshape(x.shape[:-1])
+    value = jnp.where(in_obs, problem.obstacle_cost(x), psi)
+    return on_face | in_obs, value

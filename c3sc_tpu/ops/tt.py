@@ -1,0 +1,326 @@
+"""Tensor-train (function-train) algebra with padded static ranks.
+
+TPU-native re-design of C3's function-train core (``Compressed-Continuous-
+Computation/src/lib_clinalg/ft.c`` ``struct FunctionTrain`` /
+``function_train_eval`` / ``function_train_round`` / ``function_train_sum``
+— line n/a, empty mount; SURVEY.md §2.2). Because c3sc uses the
+linear-element (hat-function) univariate class on a fixed grid
+(``lib_funcs/linelm.c``), the continuous FT reduces *exactly* to a discrete
+TT on the grid nodes + multilinear interpolation between nodes — so the TPU
+representation is a discrete TT.
+
+Central XLA trick (SURVEY.md §7, hard part #1): C3's ranks are dynamic;
+XLA needs static shapes. Every core is padded to a single static R:
+``cores[k]: [R, n_k, R]`` with the **invariant that padded entries are
+exactly zero** outside the active ``ranks[k] x n_k x ranks[k+1]`` block
+(ranks[0] == ranks[d] == 1). Zero padding makes eval/contract/add/dot
+correct with *no masking at all*; rounding re-establishes the invariant by
+masking truncated singular directions instead of changing shapes. Rank
+adaptation then never recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TT(NamedTuple):
+    """Padded tensor train. cores[k]: [R, n_k, R]; ranks: [d+1] int32."""
+
+    cores: tuple
+    ranks: jnp.ndarray
+
+    @property
+    def ndim(self) -> int:
+        return len(self.cores)
+
+    @property
+    def rmax(self) -> int:
+        return self.cores[0].shape[0]
+
+    @property
+    def shape(self) -> tuple:
+        return tuple(c.shape[1] for c in self.cores)
+
+
+def _rank_mask(R: int, r_left, r_right, dtype):
+    """[R, 1, R] mask selecting the active block."""
+    rows = (jnp.arange(R) < r_left).astype(dtype)[:, None, None]
+    cols = (jnp.arange(R) < r_right).astype(dtype)[None, None, :]
+    return rows * cols
+
+
+def mask_cores(tt: TT) -> TT:
+    """Re-zero the padded region (restores the invariant after raw edits)."""
+    new = []
+    for k, c in enumerate(tt.cores):
+        m = _rank_mask(tt.rmax, tt.ranks[k], tt.ranks[k + 1], c.dtype)
+        new.append(c * m)
+    return TT(tuple(new), tt.ranks)
+
+
+# ---------------------------------------------------------------- constructors
+
+
+def tt_zeros(shape: Sequence[int], rmax: int, dtype=jnp.float32) -> TT:
+    d = len(shape)
+    cores = tuple(jnp.zeros((rmax, n, rmax), dtype) for n in shape)
+    ranks = jnp.ones(d + 1, jnp.int32)
+    return TT(cores, ranks)
+
+
+def tt_constant(shape: Sequence[int], value, rmax: int, dtype=jnp.float32) -> TT:
+    """TT of the constant tensor `value` (rank-1)."""
+    d = len(shape)
+    cores = []
+    for k, n in enumerate(shape):
+        c = jnp.zeros((rmax, n, rmax), dtype)
+        fill = value if k == 0 else 1.0
+        c = c.at[0, :, 0].set(fill)
+        cores.append(c)
+    return TT(tuple(cores), jnp.ones(d + 1, jnp.int32))
+
+
+def tt_rank1(factors: Sequence[jnp.ndarray], rmax: int) -> TT:
+    """TT of the rank-1 tensor prod_k factors[k], factors[k]: [n_k]."""
+    cores = []
+    d = len(factors)
+    for f in factors:
+        c = jnp.zeros((rmax, f.shape[0], rmax), f.dtype)
+        c = c.at[0, :, 0].set(f)
+        cores.append(c)
+    return TT(tuple(cores), jnp.ones(d + 1, jnp.int32))
+
+
+def tt_random(key, shape: Sequence[int], ranks: Sequence[int], rmax: int,
+              dtype=jnp.float32) -> TT:
+    """Random TT with the given (unpadded) ranks, padded to rmax."""
+    d = len(shape)
+    rk = [1] + [min(int(r), rmax) for r in ranks] + [1] if len(ranks) == d - 1 else list(ranks)
+    assert len(rk) == d + 1 and rk[0] == rk[-1] == 1
+    cores = []
+    keys = jax.random.split(key, d)
+    for k, n in enumerate(shape):
+        c = jnp.zeros((rmax, n, rmax), dtype)
+        blk = jax.random.normal(keys[k], (rk[k], n, rk[k + 1]), dtype) / np.sqrt(rmax)
+        c = c.at[: rk[k], :, : rk[k + 1]].set(blk)
+        cores.append(c)
+    return TT(tuple(cores), jnp.asarray(rk, jnp.int32))
+
+
+def tt_from_dense(a: jnp.ndarray, rmax: int, tol: float = 1e-6) -> TT:
+    """TT-SVD of a small dense tensor (test/oracle use; not jitted)."""
+    shape = a.shape
+    d = a.ndim
+    dtype = a.dtype
+    cores = []
+    ranks = [1]
+    m = np.asarray(a).reshape(1 * shape[0], -1)
+    r_prev = 1
+    for k in range(d - 1):
+        m = m.reshape(r_prev * shape[k], -1)
+        u, s, vt = np.linalg.svd(m, full_matrices=False)
+        smax = s[0] if s.size and s[0] > 0 else 1.0
+        keep = max(1, int(np.sum(s > tol * smax)))
+        keep = min(keep, rmax)
+        u, s, vt = u[:, :keep], s[:keep], vt[:keep]
+        core = np.zeros((rmax, shape[k], rmax), dtype)
+        core[:r_prev, :, :keep] = u.reshape(r_prev, shape[k], keep)
+        cores.append(jnp.asarray(core))
+        ranks.append(keep)
+        m = (s[:, None] * vt)
+        r_prev = keep
+    core = np.zeros((rmax, shape[-1], rmax), dtype)
+    core[:r_prev, :, 0] = m.reshape(r_prev, shape[-1])
+    cores.append(jnp.asarray(core))
+    ranks.append(1)
+    return TT(tuple(cores), jnp.asarray(ranks, jnp.int32))
+
+
+# ------------------------------------------------------------------ evaluation
+
+
+def tt_gather_eval(tt: TT, idx) -> jnp.ndarray:
+    """Evaluate at grid nodes. idx: [B, d] int -> [B].
+
+    A chain of batched [B, R] x [B, R, R] matvecs — maps straight onto the
+    MXU (reference: ``function_train_eval``, SURVEY.md §3.5).
+    """
+    v = tt.cores[0][0, idx[:, 0], :]  # [B, R]
+    for k in range(1, tt.ndim):
+        slices = tt.cores[k][:, idx[:, k], :]          # [R, B, R]
+        v = jnp.einsum("br,rbs->bs", v, slices)
+    return v[:, 0]
+
+
+def tt_lerp_eval(tt: TT, grid, x) -> jnp.ndarray:
+    """Continuous (linelm) evaluation at off-grid points x [B, d] -> [B]."""
+    cell, w = grid.state_to_cell(grid.wrap_state(x))
+    n = jnp.asarray(grid.shape, jnp.int32)
+    v = None
+    for k in range(tt.ndim):
+        j0 = cell[:, k]
+        j1 = jnp.mod(j0 + 1, n[k]) if grid.periodic[k] else jnp.clip(j0 + 1, 0, n[k] - 1)
+        wk = w[:, k].astype(tt.cores[k].dtype)
+        s0 = tt.cores[k][:, j0, :]  # [R, B, R]
+        s1 = tt.cores[k][:, j1, :]
+        slices = s0 * (1 - wk)[None, :, None] + s1 * wk[None, :, None]
+        if v is None:
+            v = slices[0]  # [B, R]
+        else:
+            v = jnp.einsum("br,rbs->bs", v, slices)
+    return v[:, 0]
+
+
+def tt_full(tt: TT) -> jnp.ndarray:
+    """Densify (small tensors / tests only)."""
+    out = tt.cores[0][:1]  # [1, n0, R]
+    for k in range(1, tt.ndim):
+        out = jnp.einsum("...r,rns->...ns", out, tt.cores[k])
+    return out[0, ..., 0]
+
+
+# ------------------------------------------------------------------ arithmetic
+
+
+def tt_scale(tt: TT, alpha) -> TT:
+    cores = (tt.cores[0] * alpha,) + tt.cores[1:]
+    return TT(cores, tt.ranks)
+
+
+def tt_add(a: TT, b: TT) -> TT:
+    """Block-diagonal TT sum; combined ranks must fit within R.
+
+    Active blocks are placed disjointly (a at rows/cols [0, ra), b at
+    [ra, ra+rb)) using dynamic-slice writes; padded zeros keep it exact.
+    """
+    d = a.ndim
+    R = a.rmax
+    cores = []
+    ranks = [jnp.asarray(1, jnp.int32)]
+    for k in range(d):
+        ca, cb = a.cores[k], b.cores[k]
+        n = ca.shape[1]
+        ra_l, ra_r = a.ranks[k], a.ranks[k + 1]
+        rb_l, rb_r = b.ranks[k], b.ranks[k + 1]
+        out = jnp.zeros((R, n, R), ca.dtype)
+        if k == 0:
+            # row vector concat: [1, n, ra_r + rb_r]
+            out = out + ca
+            shifted = _shift_cols(cb, ra_r)
+            out = out + shifted
+            ranks.append(ra_r + rb_r)
+        elif k == d - 1:
+            out = out + ca
+            out = out + _shift_rows(cb, ra_l)
+            ranks.append(jnp.asarray(1, jnp.int32))
+        else:
+            out = out + ca
+            out = out + _shift_rows(_shift_cols(cb, ra_r), ra_l)
+            ranks.append(ra_r + rb_r)
+        cores.append(out)
+    ranks = jnp.stack([jnp.asarray(r, jnp.int32) for r in ranks])
+    ranks = jnp.minimum(ranks, R)
+    return TT(tuple(cores), ranks)
+
+
+def _shift_cols(core, shift):
+    """Shift the last axis of [R, n, R] by `shift` (traced), zero-fill."""
+    R = core.shape[-1]
+    col = jnp.arange(R)
+    src = col - shift
+    safe = jnp.clip(src, 0, R - 1)
+    gathered = core[:, :, safe]
+    return jnp.where((src >= 0)[None, None, :], gathered, 0.0)
+
+
+def _shift_rows(core, shift):
+    R = core.shape[0]
+    row = jnp.arange(R)
+    src = row - shift
+    safe = jnp.clip(src, 0, R - 1)
+    gathered = core[safe, :, :]
+    return jnp.where((src >= 0)[:, None, None], gathered, 0.0)
+
+
+def tt_dot(a: TT, b: TT) -> jnp.ndarray:
+    """<A, B> inner product over all entries."""
+    d = a.ndim
+    # first cores contribute only row 0 (r0 == 1): [n, R] x [n, R] -> [R, R]
+    t = jnp.einsum("nb,nd->bd", a.cores[0][0], b.cores[0][0])
+    for k in range(1, d):
+        t = jnp.einsum("ac,anb,cnd->bd", t, a.cores[k], b.cores[k])
+    return t[0, 0]
+
+
+def tt_norm(tt: TT) -> jnp.ndarray:
+    return jnp.sqrt(jnp.maximum(tt_dot(tt, tt), 0.0))
+
+
+# -------------------------------------------------------------------- rounding
+
+
+def tt_round(tt: TT, tol: float, rmax_new: int | None = None) -> TT:
+    """SVD re-compression to relative accuracy `tol` (Frobenius), keeping
+    static padded shapes (reference: ``function_train_round``, SURVEY.md
+    §2.2; Oseledets TT-rounding).
+
+    Left-to-right QR orthogonalization, then right-to-left SVD truncation;
+    truncated directions are *masked to zero*, ranks array updated — no
+    shape change, jit-safe.
+    """
+    d = tt.ndim
+    R = tt.rmax
+    cap = R if rmax_new is None else min(rmax_new, R)
+    cores = list(tt.cores)
+    # --- left-to-right QR sweep ---
+    for k in range(d - 1):
+        c = cores[k]  # [R, n, R]
+        n = c.shape[1]
+        m = c.reshape(R * n, R)
+        q, r = jnp.linalg.qr(m)  # q [R*n, R], r [R, R]
+        cores[k] = q.reshape(R, n, R)
+        cores[k + 1] = jnp.einsum("ij,jns->ins", r, cores[k + 1])
+    # after sweep the tensor = cores (orthogonal) with all mass in last core
+    nrm = jnp.linalg.norm(cores[-1])
+    thresh = tol * nrm / np.sqrt(max(d - 1, 1))
+    new_ranks = [jnp.asarray(1, jnp.int32)] * (d + 1)
+    # --- right-to-left SVD truncation sweep ---
+    for k in range(d - 1, 0, -1):
+        c = cores[k]  # [R, n, R]
+        n = c.shape[1]
+        m = c.reshape(R, n * R)
+        u, s, vt = jnp.linalg.svd(m, full_matrices=False)  # u [R,R], s [R], vt [R, nR]
+        keep = (s > thresh) & (jnp.arange(s.shape[0]) < cap)
+        keep = keep | (jnp.arange(s.shape[0]) == 0)  # rank >= 1
+        r_new = jnp.sum(keep).astype(jnp.int32)
+        mask = keep.astype(c.dtype)
+        cores[k] = (mask[:, None] * vt).reshape(R, n, R)
+        carry = u * (mask * s)[None, :]  # [R, R] columns masked
+        cores[k - 1] = jnp.einsum("ins,sj->inj", cores[k - 1], carry)
+        new_ranks[k] = r_new
+    new_ranks[0] = jnp.asarray(1, jnp.int32)
+    new_ranks[d] = jnp.asarray(1, jnp.int32)
+    out = TT(tuple(cores), jnp.stack(new_ranks))
+    return mask_cores(out)
+
+
+# ------------------------------------------------------------------------- i/o
+
+
+def tt_save(tt: TT, path: str) -> None:
+    """Serialize (the ``function_train_save`` / ``valuef_save`` equivalent)."""
+    arrays = {f"core_{k}": np.asarray(c) for k, c in enumerate(tt.cores)}
+    arrays["ranks"] = np.asarray(tt.ranks)
+    np.savez(path, **arrays)
+
+
+def tt_load(path: str) -> TT:
+    data = np.load(path)
+    d = len([k for k in data.files if k.startswith("core_")])
+    cores = tuple(jnp.asarray(data[f"core_{k}"]) for k in range(d))
+    return TT(cores, jnp.asarray(data["ranks"]))

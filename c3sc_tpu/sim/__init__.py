@@ -1,0 +1,7 @@
+"""Closed-loop simulation: SDE integrators, implicit feedback policies,
+batched Monte-Carlo rollouts, receding-horizon MPC."""
+
+from c3sc_tpu.sim.policy import make_implicit_policy
+from c3sc_tpu.sim.integrators import Trajectory, rollout
+
+__all__ = ["make_implicit_policy", "Trajectory", "rollout"]

@@ -1,0 +1,117 @@
+"""Batched SDE/ODE integrators and Monte-Carlo rollouts.
+
+Reference: ``c3sc/src/simulate.c`` ``struct Integrator`` (Euler, RK4,
+Euler–Maruyama) + ``struct Trajectory`` (line n/a, empty mount; SURVEY.md
+§2.1/§3.3). The reference steps ONE trajectory in a C loop; here a whole
+batch of scenarios advances in lockstep under ``lax.scan`` + ``vmap`` — the
+"thousands of batched rollouts" design of SURVEY.md §7 item 8. Absorbing
+boundaries freeze a trajectory and charge the discounted exit cost once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from c3sc_tpu.grids import Grid
+from c3sc_tpu.models.base import Boundary, ControlProblem
+
+
+class Trajectory(NamedTuple):
+    """Batched rollout record (the `struct Trajectory` equivalent)."""
+
+    xs: jnp.ndarray      # [T+1, B, d] states
+    us: jnp.ndarray      # [T, B, du] controls applied
+    cost: jnp.ndarray    # [B] realized discounted cost
+    alive: jnp.ndarray   # [T+1, B] bool — False once absorbed
+    exit_time: jnp.ndarray  # [B] absorption time (= T*dt_sim if never)
+
+
+def _apply_boundaries(problem: ControlProblem, grid: Grid, x):
+    """Post-step boundary projection.
+
+    Returns (x_projected, absorbed_mask). Periodic dims wrap, reflect dims
+    clamp; absorbing dims leaving the box (or entering an obstacle) absorb.
+    """
+    lb = jnp.asarray(problem.lb, x.dtype)
+    ub = jnp.asarray(problem.ub, x.dtype)
+    x = grid.wrap_state(x)
+    absorbed = jnp.zeros(x.shape[:-1], bool)
+    for k in range(problem.dx):
+        b = problem.boundary[k]
+        if b == Boundary.ABSORB:
+            absorbed = absorbed | (x[..., k] < lb[k]) | (x[..., k] > ub[k])
+        if b != Boundary.PERIODIC:
+            x = x.at[..., k].set(jnp.clip(x[..., k], lb[k], ub[k]))
+    absorbed = absorbed | problem.in_obstacle(x)
+    return x, absorbed
+
+
+def _exit_value(problem: ControlProblem, x):
+    psi = problem.boundary_cost(x)
+    if problem.obstacles:
+        inobs = problem.in_obstacle(x)
+        psi = jnp.where(inobs, problem.obstacle_cost(x), psi)
+    return psi
+
+
+def rollout(
+    problem: ControlProblem,
+    grid: Grid,
+    policy: Callable,
+    x0,
+    key,
+    dt: float,
+    n_steps: int,
+    policy_every: int = 1,
+) -> Trajectory:
+    """Euler–Maruyama closed-loop rollouts.
+
+    x0: [B, d] initial states;  policy: x [B, d] -> u [B, du].
+    policy_every: recompute the (expensive) implicit argmin every k steps —
+    zero-order-hold in between (the reference's per-step fresh c3opt solve
+    corresponds to policy_every=1).
+    """
+    B = x0.shape[0]
+    dtf = jnp.asarray(dt, x0.dtype)
+    sqdt = jnp.sqrt(dtf)
+    drift_b = jax.vmap(problem.drift)
+    diff_b = jax.vmap(problem.diff)
+    g_b = jax.vmap(problem.stage_cost)
+    exit_b = jax.vmap(_exit_value, in_axes=(None, 0))
+
+    def step(carry, inp):
+        x, u_prev, cost, alive, t, texit = carry
+        k, i = inp
+        u = jax.lax.cond(i % policy_every == 0, lambda: policy(x), lambda: u_prev)
+        f = drift_b(x, u)
+        L = diff_b(x, u)
+        noise = jax.random.normal(k, (B, problem.dw), x.dtype)
+        xn = x + f * dtf + jnp.einsum("bij,bj->bi", L, noise) * sqdt
+        xn, absorbed_now = _apply_boundaries(problem, grid, xn)
+        newly = absorbed_now & alive
+        disc = jnp.exp(-problem.beta * t)
+        # running cost while alive; exit cost charged once on absorption
+        cost = cost + jnp.where(alive, disc * g_b(x, u) * dtf, 0.0)
+        cost = cost + jnp.where(
+            newly, jnp.exp(-problem.beta * (t + dtf)) * exit_b(problem, xn), 0.0
+        )
+        alive_next = alive & ~absorbed_now
+        xn = jnp.where(alive[:, None], xn, x)  # freeze absorbed trajectories
+        texit = jnp.where(newly, t + dtf, texit)
+        return (xn, u, cost, alive_next, t + dtf, texit), (xn, u, alive_next)
+
+    keys = jax.random.split(key, n_steps)
+    u0 = jnp.zeros((B, problem.du), x0.dtype)
+    cost0 = jnp.zeros(B, x0.dtype)
+    alive0 = jnp.ones(B, bool)
+    texit0 = jnp.full(B, n_steps * dt, x0.dtype)
+    (xT, _, cost, aliveT, _, texit), (xs, us, alives) = jax.lax.scan(
+        step, (x0, u0, cost0, alive0, jnp.asarray(0.0, x0.dtype), texit0),
+        (keys, jnp.arange(n_steps)),
+    )
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    alives = jnp.concatenate([alive0[None], alives], axis=0)
+    return Trajectory(xs=xs, us=us, cost=cost, alive=alives, exit_time=texit)

@@ -1,0 +1,59 @@
+"""Implicit feedback policy: u*(x) = argmin_u Bellman RHS against a value fn.
+
+Reference: the implicit-policy controller of ``c3sc/src/simulate.c`` /
+``bellman_optimal`` (line n/a, empty mount; SURVEY.md §3.3) — there, a fresh
+``c3opt`` solve per simulation step; here, a *batched* brute-force argmin over
+a control-candidate set evaluated for thousands of rollout states at once
+(pure vmap — the TPU-optimal backend, SURVEY.md §7 item 6a).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from c3sc_tpu.grids import Grid
+from c3sc_tpu.models.base import ControlProblem
+from c3sc_tpu.ops import mca
+
+
+def make_implicit_policy(
+    problem: ControlProblem,
+    grid: Grid,
+    value_fn: Callable,
+    controls,
+):
+    """Build policy(x [..., d]) -> u [..., du].
+
+    value_fn: batched points [..., d] -> values [...] (dense-interp or TT).
+    controls: [C, du] candidate set.
+    """
+    uc = jnp.asarray(controls)
+    d = problem.dx
+
+    def rhs_one(x, vx_neighbors, u):
+        """Bellman RHS at one state against neighbor values [2, d]."""
+        pp, pm, dt = mca.transition(problem, grid, x, u)
+        g = problem.stage_cost(x, u)
+        expect = jnp.sum(pp * vx_neighbors[0] + pm * vx_neighbors[1])
+        return g * dt + jnp.exp(-problem.beta * dt) * expect
+
+    def policy(x):
+        """x [..., d] -> u [..., du]."""
+        batch_shape = x.shape[:-1]
+        xf = x.reshape(-1, d)  # [B, d]
+        h = jnp.asarray(grid.h, xf.dtype)
+        # neighbor points x +- h_j e_j  -> [B, 2, d(which), d(coord)]
+        eye = jnp.eye(d, dtype=xf.dtype)
+        nb = jnp.stack([xf[:, None, :] + h[:, None] * eye,
+                        xf[:, None, :] - h[:, None] * eye], axis=1)
+        vnb = value_fn(nb.reshape(-1, d)).reshape(-1, 2, d)  # [B, 2, d]
+        rhs = jax.vmap(  # over batch
+            lambda xx, vv: jax.vmap(lambda u: rhs_one(xx, vv, u))(uc)
+        )(xf, vnb)  # [B, C]
+        best = jnp.argmin(rhs, axis=-1)
+        return uc[best].reshape(*batch_shape, problem.du)
+
+    return policy

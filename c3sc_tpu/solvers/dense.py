@@ -1,0 +1,192 @@
+"""Dense-grid value iteration — the correctness oracle (no TT).
+
+The reference has no dense path (the FT *is* the representation); this module
+is the TPU build's stand-in oracle for <=3D problems mandated by SURVEY.md §4:
+a full-grid Markov-chain-approximation Bellman solve whose node values the TT
+path must reproduce. It doubles as a fast production solver for 2–3D systems:
+one jitted sweep = a brute-force min over control candidates of
+``g*dt + exp(-beta*dt) * sum_j (p+_j v(x+h_j e_j) + p-_j v(x-h_j e_j))``
+over every node at once — pure batched VPU/MXU work.
+
+Bellman semantics match ``c3sc/src/bellman.c`` ``bellmanrhs`` (line n/a,
+empty mount; SURVEY.md §3.1). Uses *modified policy iteration*: each outer
+sweep does one argmin (improvement) + ``eval_sweeps`` cheap fixed-policy
+backups — same fixed point, far fewer argmin evaluations than pure VI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c3sc_tpu.grids import Grid
+from c3sc_tpu.models.base import ControlProblem
+from c3sc_tpu.ops import mca
+
+
+@dataclasses.dataclass
+class DenseSolution:
+    v: jnp.ndarray            # [*grid.shape] value at nodes
+    residual: float           # final sup-norm sweep residual
+    sweeps: int               # outer sweeps executed
+    residual_history: list    # residual after each outer chunk
+    controls: np.ndarray      # [C, du] candidate set used
+
+
+def neighbor_values(v, grid: Grid):
+    """Per-dim +-1-node neighbor value tensors of a dense v.
+
+    Periodic dims wrap; bounded dims clamp (clamping = reflect 'stick' at the
+    face; absorbing faces are pinned to psi separately so clamp is also
+    correct for them). Returns (vp [N, d], vm [N, d]), N = prod(shape).
+    """
+    vps, vms = [], []
+    for j in range(grid.ndim):
+        n = v.shape[j]
+        if grid.periodic[j]:
+            vp = jnp.roll(v, -1, axis=j)
+            vm = jnp.roll(v, 1, axis=j)
+        else:
+            first = jax.lax.slice_in_dim(v, 0, 1, axis=j)
+            last = jax.lax.slice_in_dim(v, n - 1, n, axis=j)
+            vp = jnp.concatenate([jax.lax.slice_in_dim(v, 1, n, axis=j), last], axis=j)
+            vm = jnp.concatenate([first, jax.lax.slice_in_dim(v, 0, n - 1, axis=j)], axis=j)
+        vps.append(vp.reshape(-1))
+        vms.append(vm.reshape(-1))
+    return jnp.stack(vps, axis=-1), jnp.stack(vms, axis=-1)
+
+
+def _precompute(problem: ControlProblem, grid: Grid, controls, dtype):
+    """Stencil quantities for all (candidate, node) — independent of v."""
+    mesh = grid.meshgrid()
+    x = jnp.asarray(np.stack([m.ravel() for m in mesh], axis=-1), dtype)  # [N, d]
+    idx = jnp.asarray(
+        np.stack([m.ravel() for m in np.meshgrid(*[np.arange(n) for n in grid.shape], indexing="ij")], -1),
+        jnp.int32,
+    )
+    uc = jnp.asarray(controls, dtype)  # [C, du]
+
+    def per_control(u):
+        pp, pm, dt = jax.vmap(lambda xx: mca.transition(problem, grid, xx, u))(x)
+        g = jax.vmap(lambda xx: problem.stage_cost(xx, u))(x)
+        return pp, pm, dt, g
+
+    pp, pm, dt, g = jax.lax.map(per_control, uc)  # [C,N,d] x2, [C,N], [C,N]
+    term_mask, term_value = mca.node_terminal(problem, grid, idx, x)
+    return x, pp, pm, dt, g, term_mask, term_value.astype(dtype)
+
+
+def make_dense_step(problem: ControlProblem, grid: Grid, controls, dtype=jnp.float32,
+                    eval_sweeps: int = 10):
+    """Build the jitted outer-sweep function.
+
+    Returns (step, init_v) where step(v, n_outer) runs n_outer modified-PI
+    sweeps and returns (v_new, residual_of_last_sweep).
+    """
+    x, pp, pm, dt, g, term_mask, term_value = _precompute(problem, grid, controls, dtype)
+    beta = problem.beta
+    disc = jnp.exp(-beta * dt)  # [C, N]
+    gdt = g * dt                # [C, N]
+    shape = grid.shape
+
+    def backup_all(v):
+        """RHS for every candidate: [C, N]."""
+        vp, vm = neighbor_values(v, grid)  # [N, d]
+        expect = jnp.einsum("cnd,nd->cn", pp, vp) + jnp.einsum("cnd,nd->cn", pm, vm)
+        return gdt + disc * expect
+
+    def apply_terminal(vflat):
+        return jnp.where(term_mask, term_value, vflat)
+
+    def improve(v):
+        rhs = backup_all(v)                   # [C, N]
+        best = jnp.argmin(rhs, axis=0)        # [N]
+        vnew = apply_terminal(jnp.min(rhs, axis=0)).reshape(shape)
+        return vnew, best
+
+    def gather_policy(best):
+        take = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
+        pol_pp = jnp.take_along_axis(pp, best[None, :, None], axis=0)[0]
+        pol_pm = jnp.take_along_axis(pm, best[None, :, None], axis=0)[0]
+        return pol_pp, pol_pm, take(gdt), take(disc)
+
+    def evaluate(v, pol):
+        pol_pp, pol_pm, pol_gdt, pol_disc = pol
+        vp, vm = neighbor_values(v, grid)
+        expect = jnp.sum(pol_pp * vp + pol_pm * vm, axis=-1)
+        return apply_terminal(pol_gdt + pol_disc * expect).reshape(shape)
+
+    def one_outer(v):
+        vnew, best = improve(v)
+        pol = gather_policy(best)
+        vnew = jax.lax.fori_loop(0, eval_sweeps, lambda _, vv: evaluate(vv, pol), vnew)
+        return vnew
+
+    @partial(jax.jit, static_argnames="n_outer")
+    def step(v, n_outer: int):
+        def body(_, carry):
+            v, _ = carry
+            vnew = one_outer(v)
+            res = jnp.max(jnp.abs(vnew - v))
+            return vnew, res
+        return jax.lax.fori_loop(0, n_outer, body, (v, jnp.asarray(jnp.inf, dtype)))
+
+    init_v = apply_terminal(jnp.zeros(int(np.prod(shape)), dtype)).reshape(shape)
+    return step, init_v
+
+
+def dense_vi(
+    problem: ControlProblem,
+    grid: Grid,
+    controls=None,
+    n_controls: int = 11,
+    tol: float = 1e-5,
+    max_outer: int = 2000,
+    chunk: int = 50,
+    eval_sweeps: int = 10,
+    dtype=jnp.float32,
+    v0=None,
+    verbose: bool = False,
+) -> DenseSolution:
+    """Solve the MCA Bellman equation on the full grid.
+
+    Outer sweeps run in jitted chunks; convergence when the sup-norm change
+    of one outer sweep < tol.
+    """
+    if controls is None:
+        controls = problem.control_candidates(n_controls)
+    step, init_v = make_dense_step(problem, grid, controls, dtype, eval_sweeps)
+    v = init_v if v0 is None else jnp.asarray(v0, dtype)
+    history = []
+    done = 0
+    while done < max_outer:
+        n = min(chunk, max_outer - done)
+        v, res = step(v, n)
+        res = float(res)
+        done += n
+        history.append(res)
+        if verbose:
+            print(f"[dense_vi:{problem.name}] outer={done} residual={res:.3e}")
+        if res < tol:
+            break
+    return DenseSolution(v=v, residual=res, sweeps=done, residual_history=history,
+                         controls=np.asarray(controls))
+
+
+def dense_policy(problem: ControlProblem, grid: Grid, v, controls, dtype=jnp.float32):
+    """Greedy policy u*(node) = argmin_u Bellman RHS against a dense v.
+
+    Returns u [*grid.shape, du].
+    """
+    x, pp, pm, dt, g, term_mask, term_value = _precompute(problem, grid, controls, dtype)
+    vp, vm = neighbor_values(jnp.asarray(v, dtype), grid)
+    rhs = g * dt + jnp.exp(-problem.beta * dt) * (
+        jnp.einsum("cnd,nd->cn", pp, vp) + jnp.einsum("cnd,nd->cn", pm, vm)
+    )
+    best = jnp.argmin(rhs, axis=0)  # [N]
+    u = jnp.asarray(controls, dtype)[best]  # [N, du]
+    return u.reshape(*grid.shape, problem.du)
