@@ -2,5 +2,13 @@
 iteration (the production path)."""
 
 from c3sc_tpu.solvers.dense import DenseSolution, dense_policy, dense_vi
+from c3sc_tpu.solvers.fused import FusedVISolution, fused_tt_vi
+from c3sc_tpu.solvers.ttvi import TTVISolution, tt_vi
+from c3sc_tpu.solvers.ttpi import TTPISolution, tt_pi
 
-__all__ = ["DenseSolution", "dense_vi", "dense_policy"]
+__all__ = [
+    "DenseSolution", "dense_vi", "dense_policy",
+    "TTVISolution", "tt_vi",
+    "TTPISolution", "tt_pi",
+    "FusedVISolution", "fused_tt_vi",
+]

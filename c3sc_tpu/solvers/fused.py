@@ -1,0 +1,344 @@
+"""Fused on-device TT value iteration: the whole VI loop as ONE XLA program.
+
+The host-orchestrated path (``solvers/ttvi.py`` + ``ops/cross.py``) pays
+~30 host->device dispatches per VI iteration (eval, QR, SVD, LU, index
+bookkeeping per core). This module is the TPU-native end-game promised in
+SURVEY.md §7: cross index sets live on device as padded static-shape arrays,
+every per-core operation is masked to the active rank block, and the entire
+VI iteration — left-to-right + right-to-left cross sweeps over the Bellman
+backup, rank adaptation, pivot selection, convergence sampling — runs inside
+a single ``jax.lax.while_loop``. Zero host round-trips until convergence.
+
+Key static-shape tricks (SURVEY.md §7 hard part #1):
+- index sets: ``left/right [d+1, R, d]`` int32, column j holds the node
+  index for *absolute* dim j; active row counts tracked in traced
+  ``rl/rr [d+1]``.
+- fiber matrices are always evaluated at the padded size ``[R*n_k, R]`` and
+  masked; rank re-estimation = traced count of singular values above
+  threshold; DMRG-style kick = masked random columns re-orthogonalized by a
+  second QR.
+- pivot rows come from the permutation of ``jax.lax.linalg.lu`` (maxvol
+  proxy); the interpolation core ``G = Q inv(Q[rows])`` keeps the
+  padded-zero invariant because inactive columns stay exactly zero.
+
+Reference parity: this computes the same fixed point as
+``c3control_vi_solve`` + C3 ``ftapprox_cross`` (SURVEY.md §3.1), validated
+against the host path and the dense oracle in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c3sc_tpu.grids import Grid
+from c3sc_tpu.models.base import ControlProblem
+from c3sc_tpu.ops.tt import TT, tt_gather_eval
+from c3sc_tpu.solvers.ttvi import bellman_backup
+
+
+class FusedCarry(NamedTuple):
+    cores: tuple          # d x [R, n_k, R] current value TT (padded-zero)
+    ranks: jnp.ndarray    # [d+1] int32
+    left: jnp.ndarray     # [d+1, R, d] int32
+    right: jnp.ndarray    # [d+1, R, d] int32
+    rl: jnp.ndarray       # [d+1] int32 active left-set sizes
+    rr: jnp.ndarray       # [d+1] int32 active right-set sizes
+    key: jnp.ndarray
+    it: jnp.ndarray       # int32
+    residual: jnp.ndarray # float
+    best_res: jnp.ndarray # float — best residual seen (plateau detection)
+    stall: jnp.ndarray    # int32 — iterations since best_res improved
+    v_sample: jnp.ndarray # [S]
+
+
+def _orth_basis(C, noise, r_need, r_new, row_mask):
+    """Orthonormal basis of the (kick-enriched) fiber column space [m, R]."""
+    m, R = C.shape
+    col = jnp.arange(R)
+    q, _ = jnp.linalg.qr(C)                      # [m, R]
+    r_keep = jnp.minimum(r_need, r_new)
+    keepmask = (col < r_keep).astype(C.dtype)
+    kickmask = ((col >= r_keep) & (col < r_new)).astype(C.dtype)
+    m2 = q * keepmask[None, :] + noise * row_mask[:, None] * kickmask[None, :]
+    qe, _ = jnp.linalg.qr(m2)
+    qe = qe * (col < r_new).astype(C.dtype)[None, :]
+    # zero padded rows (qr can leave garbage orthonormal directions there)
+    qe = qe * row_mask[:, None]
+    return qe
+
+
+def _interp_from_rows(qe, rows, r_new):
+    """Interpolation core G = qe inv(qe[rows]) [m, R]; G[rows] = I on the
+    active block, padded cols exactly zero."""
+    R = qe.shape[1]
+    col = jnp.arange(R)
+    sub = qe[rows]                               # [R, R]
+    sub = sub + jnp.diag((col >= r_new).astype(qe.dtype))
+    return jnp.linalg.solve(sub.T, qe.T).T
+
+
+def _pivot_rows(qe):
+    """Maxvol-proxy pivot rows via partial-pivoted LU."""
+    _, _, perm = jax.lax.linalg.lu(qe)
+    return perm[: qe.shape[1]].astype(jnp.int32)
+
+
+def _rank_choice(C, eps_rank, kick, rmax_active):
+    s = jnp.linalg.svd(C, compute_uv=False)
+    smax = jnp.maximum(s[0], 1e-30)
+    r_need = jnp.maximum(jnp.sum(s > eps_rank * smax).astype(jnp.int32), 1)
+    r_new = jnp.clip(r_need + kick, 1, rmax_active)
+    return r_need, r_new
+
+
+def make_fused_vi(
+    problem: ControlProblem,
+    grid: Grid,
+    controls,
+    rmax: int = 16,
+    kick: int = 2,
+    eps_rank: float = 1e-5,
+    tol: float = 1e-4,
+    max_iters: int = 2000,
+    sample_size: int = 256,
+    patience: int = 150,
+    dtype=jnp.float32,
+):
+    """Build the jitted fused solver. Returns (solve_fn, init_fn, step_fn).
+
+    init_fn(key, v0=None) -> FusedCarry;  solve_fn(carry) -> FusedCarry
+    (runs while_loop to convergence). Both jittable; solve_fn is jitted.
+
+    Stopping: residual < tol, OR no residual improvement for ``patience``
+    iterations. The successive-iterate residual plateaus at the TT
+    truncation error of the rank cap (pivot re-selection makes the
+    approximation fluctuate at that level, which is also the accuracy
+    limit) — plateau detection stops there instead of burning iterations.
+    """
+    d = problem.dx
+    R = rmax
+    shape = grid.shape
+    uc = jnp.asarray(controls, dtype)
+    rng = np.random.default_rng(777)
+    sample_idx = jnp.asarray(
+        np.stack([rng.integers(0, n, size=sample_size) for n in shape], -1),
+        jnp.int32,
+    )
+    dimcol = jnp.arange(d)
+    # DETERMINISTIC kick-enrichment directions, fixed across iterations: a
+    # fresh random kick every sweep makes the pivot sets churn forever and
+    # the residual floors at the TT truncation error; with fixed directions
+    # the VI body is a deterministic map and contracts to its fixed point.
+    noise_l2r = [
+        jnp.asarray(rng.standard_normal((R * n, R)), dtype) for n in shape
+    ]
+    noise_r2l = [
+        jnp.asarray(rng.standard_normal((n * R, R)), dtype) for n in shape
+    ]
+
+    def _build_idx(k, left_k, right_k1):
+        """Evaluation multi-indices [R, n_k, R, d] for core k."""
+        n = shape[k]
+        A = jnp.broadcast_to(left_k[:, None, None, :], (R, n, R, d))
+        B = jnp.broadcast_to(right_k1[None, None, :, :], (R, n, R, d))
+        I = jnp.broadcast_to(jnp.arange(n)[None, :, None, None], (R, n, R, d))
+        idx = jnp.where(dimcol < k, A, jnp.where(dimcol == k, I, B))
+        return idx.astype(jnp.int32)
+
+    def _eval_fibers(cores, ranks, k, left_k, right_k1):
+        v_tt = TT(cores, ranks)
+        idx = _build_idx(k, left_k, right_k1).reshape(-1, d)
+        vals = bellman_backup(problem, grid, uc, v_tt, idx, dtype)
+        return vals.reshape(R, shape[k], R)
+
+    def body(carry: FusedCarry) -> FusedCarry:
+        cores_prev, ranks_prev = carry.cores, carry.ranks
+        left, right, rl, rr = carry.left, carry.right, carry.rl, carry.rr
+        key = carry.key
+        new_cores = list(cores_prev)
+        new_ranks = [jnp.asarray(1, jnp.int32)] * (d + 1)
+
+        # ---------------- left-to-right half sweep ----------------
+        for k in range(d - 1):
+            n = shape[k]
+            vals = _eval_fibers(cores_prev, ranks_prev, k, left[k], right[k + 1])
+            row_mask = jnp.repeat((jnp.arange(R) < rl[k]), n).astype(dtype)
+            col_mask = (jnp.arange(R) < rr[k + 1]).astype(dtype)
+            C = vals.reshape(R * n, R) * row_mask[:, None] * col_mask[None, :]
+            r_need, r_new = _rank_choice(C, eps_rank, kick,
+                                         jnp.minimum(R, rl[k] * n))
+            qe = _orth_basis(C, noise_l2r[k], r_need, r_new, row_mask)
+            rows = _pivot_rows(qe)
+            G = _interp_from_rows(qe, rows, r_new)
+            new_cores[k] = G.reshape(R, n, R)
+            a, i = rows // n, rows % n
+            newleft = jnp.where(
+                dimcol[None, :] < k, left[k][a],
+                jnp.where(dimcol[None, :] == k, i[:, None], 0),
+            ).astype(jnp.int32)
+            left = left.at[k + 1].set(newleft)
+            rl = rl.at[k + 1].set(r_new)
+            new_ranks[k + 1] = r_new
+        # last core: direct evaluation
+        n = shape[d - 1]
+        vals = _eval_fibers(cores_prev, ranks_prev, d - 1, left[d - 1], right[d])
+        row_mask = jnp.repeat((jnp.arange(R) < rl[d - 1]), n).astype(dtype)
+        C = vals.reshape(R * n, R) * row_mask[:, None]
+        C = C * (jnp.arange(R) < 1).astype(dtype)[None, :]
+        new_cores[d - 1] = C.reshape(R, n, R)
+        ranks_mid = jnp.stack(
+            [jnp.asarray(1, jnp.int32)] + [rl[k + 1] for k in range(d - 1)]
+            + [jnp.asarray(1, jnp.int32)]
+        )
+        # mid-sweep TT (left-interpolatory)
+        cores_mid = tuple(new_cores)
+
+        # ---------------- right-to-left half sweep ----------------
+        for k in range(d - 1, 0, -1):
+            n = shape[k]
+            vals = _eval_fibers(cores_mid, ranks_mid, k, left[k], right[k + 1])
+            # rows = (i, b), cols = a
+            M = vals.transpose(1, 2, 0).reshape(n * R, R)
+            row_mask = jnp.tile((jnp.arange(R) < rr[k + 1]), n).astype(dtype)
+            col_mask = (jnp.arange(R) < rl[k]).astype(dtype)
+            M = M * row_mask[:, None] * col_mask[None, :]
+            r_need, r_new = _rank_choice(M, eps_rank, kick,
+                                         jnp.minimum(R, rr[k + 1] * n))
+            qe = _orth_basis(M, noise_r2l[k], r_need, r_new, row_mask)
+            rows = _pivot_rows(qe)
+            G = _interp_from_rows(qe, rows, r_new)
+            # core k: [c, i, b] = G[(i, b), c]
+            new_cores[k] = G.reshape(n, R, R).transpose(2, 0, 1)
+            i, b = rows // R, rows % R
+            newright = jnp.where(
+                dimcol[None, :] > k, right[k + 1][b],
+                jnp.where(dimcol[None, :] == k, i[:, None], 0),
+            ).astype(jnp.int32)
+            right = right.at[k].set(newright)
+            rr = rr.at[k].set(r_new)
+            new_ranks[k] = r_new
+        # first core: direct evaluation against new right sets
+        n = shape[0]
+        vals = _eval_fibers(cores_mid, ranks_mid, 0, left[0], right[1])
+        col_mask = (jnp.arange(R) < rr[1]).astype(dtype)
+        C0 = vals[:1] * col_mask[None, None, :]  # row 0 only
+        new_cores[0] = jnp.concatenate(
+            [C0, jnp.zeros((R - 1, n, R), dtype)], axis=0
+        )
+        new_ranks[0] = jnp.asarray(1, jnp.int32)
+        new_ranks[d] = jnp.asarray(1, jnp.int32)
+        ranks_new = jnp.stack(new_ranks)
+
+        v_new = TT(tuple(new_cores), ranks_new)
+        new_sample = tt_gather_eval(v_new, sample_idx)
+        scale = jnp.maximum(jnp.max(jnp.abs(new_sample)), 1e-12)
+        residual = jnp.max(jnp.abs(new_sample - carry.v_sample)) / scale
+        improved = residual < carry.best_res * 0.98
+        best_res = jnp.minimum(carry.best_res, residual)
+        stall = jnp.where(improved, 0, carry.stall + 1)
+        return FusedCarry(
+            cores=tuple(new_cores), ranks=ranks_new, left=left, right=right,
+            rl=rl, rr=rr, key=key, it=carry.it + 1, residual=residual,
+            best_res=best_res, stall=stall, v_sample=new_sample,
+        )
+
+    def init_fn(key, v0: TT | None = None) -> FusedCarry:
+        if v0 is None:
+            cores = tuple(jnp.zeros((R, n, R), dtype) for n in shape)
+            ranks = jnp.ones(d + 1, jnp.int32)
+        else:
+            cores, ranks = v0.cores, v0.ranks
+        host_rng = np.random.default_rng(999)
+        left = np.zeros((d + 1, R, d), np.int32)
+        right = np.zeros((d + 1, R, d), np.int32)
+        for k in range(1, d):
+            for j in range(k):
+                left[k, :, j] = host_rng.integers(0, shape[j], size=R)
+            for j in range(k, d):
+                right[k, :, j] = host_rng.integers(0, shape[j], size=R)
+        r0 = np.ones(d + 1, np.int32) * min(3, R)
+        r0[0] = r0[d] = 1
+        v_sample = tt_gather_eval(TT(cores, ranks), sample_idx)
+        return FusedCarry(
+            cores=cores, ranks=ranks,
+            left=jnp.asarray(left), right=jnp.asarray(right),
+            rl=jnp.asarray(r0), rr=jnp.asarray(r0),
+            key=key, it=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(jnp.inf, dtype),
+            best_res=jnp.asarray(jnp.inf, dtype),
+            stall=jnp.asarray(0, jnp.int32), v_sample=v_sample,
+        )
+
+    @jax.jit
+    def solve_fn(carry: FusedCarry) -> FusedCarry:
+        def cond(c):
+            return (c.it < max_iters) & (c.residual > tol) & (c.stall < patience)
+        return jax.lax.while_loop(cond, body, carry)
+
+    @jax.jit
+    def step_fn(carry: FusedCarry, n_iters: int = 1) -> FusedCarry:
+        return jax.lax.fori_loop(0, n_iters, lambda _, c: body(c), carry)
+
+    return solve_fn, init_fn, step_fn
+
+
+@dataclasses.dataclass
+class FusedVISolution:
+    v: TT
+    residual: float
+    iterations: int
+    wall_time: float
+    carry: FusedCarry
+    controls: np.ndarray
+
+
+def fused_tt_vi(
+    problem: ControlProblem,
+    grid: Grid,
+    controls=None,
+    n_controls: int = 9,
+    rmax: int = 16,
+    key=None,
+    tol: float = 1e-4,
+    max_iters: int = 2000,
+    kick: int = 2,
+    eps_rank: float = 1e-5,
+    sample_size: int = 256,
+    patience: int = 150,
+    dtype=jnp.float32,
+    v0: TT | None = None,
+    carry: FusedCarry | None = None,
+) -> FusedVISolution:
+    """One-call fused VI solve (single XLA program, zero host round-trips)."""
+    if key is None:
+        key = jax.random.key(0)
+    if controls is None:
+        controls = problem.control_candidates(n_controls)
+    solve_fn, init_fn, _ = make_fused_vi(
+        problem, grid, controls, rmax=rmax, kick=kick, eps_rank=eps_rank,
+        tol=tol, max_iters=max_iters, sample_size=sample_size,
+        patience=patience, dtype=dtype,
+    )
+    if carry is None:
+        carry = init_fn(key, v0)
+    else:
+        # fresh stopping state for the warm restart
+        carry = carry._replace(
+            stall=jnp.zeros_like(carry.stall),
+            best_res=jnp.full_like(carry.best_res, jnp.inf),
+        )
+    t0 = time.time()
+    out = solve_fn(carry)
+    jax.block_until_ready(out.residual)
+    wall = time.time() - t0
+    v = TT(out.cores, out.ranks)
+    return FusedVISolution(
+        v=v, residual=float(out.residual), iterations=int(out.it),
+        wall_time=wall, carry=out, controls=np.asarray(controls),
+    )

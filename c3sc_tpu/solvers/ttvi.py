@@ -1,0 +1,236 @@
+"""TT value iteration: the production solver (c3sc's hot path, TPU-first).
+
+Reference pipeline (SURVEY.md §3.1, ``c3sc/src/c3sc.c`` ``c3control_vi_solve``
+→ ``bellman.c`` fiber evaluators → C3 ``ftapprox_cross`` — line n/a, empty
+mount): each VI iteration cross-approximates the *backed-up* value function
+
+    (T v)(x) = min_u [ g(x,u) dt(x,u) + e^{-beta dt} sum_j p_j(x,u) v(x_j) ]
+
+where the cross evaluates T v only on adaptively chosen fibers.
+
+TPU-first re-design:
+- The Bellman black box is ONE jitted kernel over a fixed-size chunk of
+  nodes x all control candidates x all 2d neighbors — batched stencil +
+  batched TT gather-eval (chains of MXU matvecs). No per-node c3opt calls.
+- The kernel closes over nothing: TT cores are traced arguments, so the
+  SAME compiled kernel serves every VI iteration.
+- Cross index sets persist across VI iterations (warm start), exactly like
+  the reference's persistent ``CrossIndex`` sets — after the first
+  iteration each cross converges in ~1 sweep.
+- Terminal (absorbing/obstacle) nodes are pinned both at evaluation nodes
+  and at neighbor lookups, matching the dense oracle's semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c3sc_tpu.grids import Grid
+from c3sc_tpu.models.base import ControlProblem
+from c3sc_tpu.ops import mca
+from c3sc_tpu.ops.cross import CrossState, tt_cross
+from c3sc_tpu.ops.tt import TT, tt_gather_eval, tt_round
+
+
+def _neighbor_indices(grid: Grid, idx):
+    """idx [B, d] -> neighbors [B, 2, d, d] (sign, which-dim, coords)."""
+    ups = jnp.stack([grid.neighbor_index(idx, j, +1) for j in range(grid.ndim)], axis=1)
+    dns = jnp.stack([grid.neighbor_index(idx, j, -1) for j in range(grid.ndim)], axis=1)
+    return jnp.stack([ups, dns], axis=1)  # [B, 2, d, d]
+
+
+def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
+                   dtype=jnp.float32):
+    """Traced fused Bellman backup at nodes idx [B, d] -> [B].
+
+    min over candidate controls uc [C, du] of the MCA RHS, with TT neighbor
+    evaluation and terminal pinning (both at evaluated nodes and at
+    neighbors). Pure function — reused by the chunked kernel, the fused
+    cross sweep, and the sharded multi-chip step.
+    """
+    d = problem.dx
+    x = grid.index_to_state(idx).astype(dtype)  # [B, d]
+    nb = _neighbor_indices(grid, idx)           # [B, 2, d, d]
+    nb_flat = nb.reshape(-1, d)
+    vn = tt_gather_eval(v_tt, nb_flat)          # [B*2*d]
+    # pin neighbor values at terminal neighbor nodes
+    nx = grid.index_to_state(nb_flat).astype(dtype)
+    t_mask, t_val = mca.node_terminal(problem, grid, nb_flat, nx)
+    vn = jnp.where(t_mask, t_val.astype(dtype), vn)
+    vn = vn.reshape(-1, 2, d)                   # [B, 2, d]
+
+    def rhs_for_control(u):
+        pp, pm, dt = mca.transition_batch(
+            problem, grid, x, jnp.broadcast_to(u, (x.shape[0],) + u.shape)
+        )
+        g = jax.vmap(lambda xx: problem.stage_cost(xx, u))(x)
+        expect = jnp.sum(pp * vn[:, 0] + pm * vn[:, 1], axis=-1)
+        return g * dt + jnp.exp(-problem.beta * dt) * expect
+
+    rhs = jax.lax.map(rhs_for_control, uc)      # [C, B]
+    val = jnp.min(rhs, axis=0)
+    # pin terminal evaluation nodes
+    tm, tv = mca.node_terminal(problem, grid, idx, x)
+    return jnp.where(tm, tv.astype(dtype), val)
+
+
+def make_bellman_kernel(problem: ControlProblem, grid: Grid, controls,
+                        chunk: int = 4096, dtype=jnp.float32):
+    """Build the jitted fused Bellman-backup kernel.
+
+    Returns bellman(v_tt: TT, idx [B, d] int32) -> [B] float — handles any B
+    by padding to `chunk` multiples (one compile total).
+    """
+    uc = jnp.asarray(controls, dtype)
+    d = problem.dx
+
+    @jax.jit
+    def _chunk_kernel(v_tt: TT, idx):
+        return bellman_backup(problem, grid, uc, v_tt, idx, dtype)
+
+    def bellman(v_tt: TT, idx):
+        B = idx.shape[0]
+        pad = (-B) % chunk
+        idxp = jnp.concatenate([idx, jnp.zeros((pad, d), idx.dtype)], 0) if pad else idx
+        pieces = [
+            _chunk_kernel(v_tt, idxp[i * chunk : (i + 1) * chunk])
+            for i in range((B + pad) // chunk)
+        ]
+        out = jnp.concatenate(pieces, 0) if len(pieces) > 1 else pieces[0]
+        return out[:B]
+
+    return bellman
+
+
+@dataclasses.dataclass
+class TTVISolution:
+    v: TT
+    state: CrossState
+    residual: float
+    iterations: int
+    residual_history: list
+    ranks: list
+    n_evals: int
+    wall_time: float
+    controls: np.ndarray
+
+
+def tt_vi(
+    problem: ControlProblem,
+    grid: Grid,
+    controls=None,
+    n_controls: int = 9,
+    rmax: int = 20,
+    key=None,
+    tol: float = 1e-4,
+    max_iters: int = 500,
+    cross_tol: float = 1e-4,
+    cross_sweeps_first: int = 5,
+    cross_sweeps: int = 2,
+    r0: int = 3,
+    kick: int = 2,
+    eps_rank: float = 1e-5,
+    round_tol: float | None = None,
+    chunk: int = 4096,
+    sample_size: int = 512,
+    dtype=jnp.float32,
+    v0: TT | None = None,
+    state: CrossState | None = None,
+    verbose: bool = False,
+    callback: Callable | None = None,
+    metrics=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 50,
+    resume_from: str | None = None,
+) -> TTVISolution:
+    """Solve the MCA Bellman fixed point with a TT-compressed value function.
+
+    The reference's ``c3control_vi_solve`` equivalent (SURVEY.md §3.1).
+    Pass ``checkpoint_path`` to save full solver state every
+    ``checkpoint_every`` iterations; ``resume_from`` restarts a saved run.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    if controls is None:
+        controls = problem.control_candidates(n_controls)
+    start_iter = 0
+    if resume_from is not None:
+        from c3sc_tpu.utils.checkpoint import load_solver_state
+
+        ck = load_solver_state(resume_from)
+        v0 = ck["v"]
+        state = ck.get("state", state)
+        start_iter = ck["iteration"] + 1
+        key = ck.get("key", key)
+    bellman = make_bellman_kernel(problem, grid, controls, chunk, dtype)
+
+    rng = np.random.default_rng(777)
+    sample_idx = np.stack(
+        [rng.integers(0, n, size=sample_size) for n in grid.shape], axis=-1
+    )
+    sample_jx = jnp.asarray(sample_idx, jnp.int32)
+
+    from c3sc_tpu.ops.tt import tt_zeros
+
+    v = v0 if v0 is not None else tt_zeros(grid.shape, rmax, dtype)
+    v_sample = tt_gather_eval(v, sample_jx)
+
+    history, ranks_hist = [], []
+    n_evals = 0
+    t0 = time.time()
+    residual = float("inf")
+    it = start_iter
+    for it in range(start_iter, max_iters):
+        key, sk = jax.random.split(key)
+        f = partial(bellman, v)
+        res = tt_cross(
+            f, grid.shape, rmax=rmax, key=sk, state=state,
+            r0=r0, kick=kick, tol=cross_tol, eps_rank=eps_rank,
+            max_sweeps=cross_sweeps_first if state is None else cross_sweeps,
+            sample_idx=sample_idx, dtype=dtype,
+        )
+        v_new, state = res.tt, res.state
+        if round_tol is not None:
+            v_new = tt_round(v_new, round_tol, rmax)
+        n_evals += res.n_evals
+        new_sample = tt_gather_eval(v_new, sample_jx)
+        scale = float(jnp.max(jnp.abs(new_sample))) + 1e-12
+        residual = float(jnp.max(jnp.abs(new_sample - v_sample))) / scale
+        history.append(residual)
+        ranks_hist.append([int(r) for r in np.asarray(v_new.ranks)])
+        v, v_sample = v_new, new_sample
+        if verbose and (it % 10 == 0 or residual < tol):
+            print(
+                f"[tt_vi:{problem.name}] it={it} res={residual:.3e} "
+                f"ranks={ranks_hist[-1]} evals={n_evals}"
+            )
+        if metrics is not None:
+            metrics.log(
+                "vi_iter", iter=it, residual=residual,
+                ranks=ranks_hist[-1], evals=n_evals,
+            )
+        if callback is not None:
+            callback(it, v, residual)
+        if checkpoint_path is not None and (
+            (it + 1) % checkpoint_every == 0 or residual < tol
+        ):
+            from c3sc_tpu.utils.checkpoint import save_solver_state
+
+            save_solver_state(
+                checkpoint_path, v, state, it, key,
+                extras={"residual": residual, "problem": problem.name},
+            )
+        if residual < tol:
+            break
+    return TTVISolution(
+        v=v, state=state, residual=residual, iterations=it + 1,
+        residual_history=history, ranks=ranks_hist, n_evals=n_evals,
+        wall_time=time.time() - t0, controls=np.asarray(controls),
+    )

@@ -1,0 +1,8 @@
+#!/usr/bin/env python
+"""lq example — thin wrapper over the registry CLI (reference analogue:
+c3sc/examples/lq main.c; SURVEY.md §2.1)."""
+import sys
+from c3sc_tpu.cli import main
+
+if __name__ == "__main__":
+    main(["lq"] + sys.argv[1:])

@@ -1,0 +1,54 @@
+"""Fused on-device VI vs dense oracle (must match the host TT path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c3sc_tpu.models import make_lq_problem, make_pendulum_problem
+from c3sc_tpu.ops.tt import tt_gather_eval
+from c3sc_tpu.solvers import dense_vi
+from c3sc_tpu.solvers.fused import fused_tt_vi
+
+
+def all_nodes(grid):
+    return np.stack(
+        np.meshgrid(*[np.arange(n) for n in grid.shape], indexing="ij"), -1
+    ).reshape(-1, grid.ndim)
+
+
+@pytest.mark.parametrize(
+    "make,kwargs,n,nc,rmax",
+    [
+        (make_lq_problem, dict(sigma=1.0, beta=1.0), 31, 15, 10),
+        (make_pendulum_problem, dict(beta=0.5, sigma=0.5), 31, 9, 16),
+    ],
+    ids=["lq", "pendulum"],
+)
+def test_fused_vi_matches_dense(make, kwargs, n, nc, rmax):
+    prob = make(**kwargs)
+    grid = prob.default_grid(n)
+    controls = prob.control_candidates(nc)
+    dense = dense_vi(prob, grid, controls=controls, tol=1e-5, max_outer=400, chunk=100)
+    sol = fused_tt_vi(
+        prob, grid, controls=controls, rmax=rmax, key=jax.random.key(0),
+        tol=2e-4, max_iters=3000,
+    )
+    idx = all_nodes(grid)
+    v_tt = np.asarray(tt_gather_eval(sol.v, jnp.asarray(idx, jnp.int32)))
+    v_dense = np.asarray(dense.v).ravel()
+    err = np.abs(v_tt - v_dense).max() / np.abs(v_dense).max()
+    assert err < 0.03, f"fused vs dense sup error {err:.4f} (it={sol.iterations})"
+    # stopped by tol, plateau (truncation-error floor), or budget
+    assert sol.iterations <= 3000
+
+
+def test_fused_warm_restart_continues():
+    prob = make_lq_problem(sigma=1.0, beta=1.0)
+    grid = prob.default_grid(21)
+    sol1 = fused_tt_vi(prob, grid, n_controls=9, rmax=8, key=jax.random.key(1),
+                       tol=0.0, max_iters=30)
+    sol2 = fused_tt_vi(prob, grid, n_controls=9, rmax=8, key=jax.random.key(1),
+                       tol=1e-4, max_iters=2000, carry=sol1.carry)
+    assert sol2.iterations > 30
+    assert sol2.residual < sol1.residual
