@@ -26,6 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from c3sc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from c3sc_tpu.models import make_quadcopter_problem
     from c3sc_tpu.ops.tt import tt_random
     from c3sc_tpu.solvers.ttvi import make_bellman_kernel

@@ -56,6 +56,9 @@ def main(argv=None):
 
     from c3sc_tpu.models import make_problem
     from c3sc_tpu.utils import MetricsLogger
+    from c3sc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     outdir = args.outdir or f"./out_{args.system}"
     os.makedirs(outdir, exist_ok=True)

@@ -93,6 +93,12 @@ class ControlProblem:
     beta: float = 0.0                                  # discount rate
     obstacles: tuple[Obstacle, ...] = ()
     name: str = "problem"
+    # provable value-function range (lo, hi): for discounted exit problems
+    # v* in [0, max(sup psi, sup g / beta)]. When set, solvers clamp both
+    # backup targets and TT neighbor evaluations into it — a strong
+    # stabilizer for rank-limited TT approximation (outliers cannot feed
+    # back through the Bellman operator).
+    value_bounds: tuple | None = None
 
     def sigma2_diag(self, x: Array, u: Array) -> Array:
         """diag(L L^T)(x, u) — the per-dim diffusion variances the MCA

@@ -64,4 +64,9 @@ def make_dubins_problem(
         drift=drift, diff=diff,
         stage_cost=stage_cost, boundary_cost=boundary_cost,
         beta=beta, obstacles=tuple(obstacles), name="dubins",
+        value_bounds=(
+            0.0,
+            max(exit_cost, obstacle_cost,
+                (1.0 + w_u * u_max**2) / max(beta, 1e-6)),
+        ),
     )

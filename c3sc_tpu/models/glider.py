@@ -80,4 +80,9 @@ def make_glider_problem(
         drift=drift, diff=diff,
         stage_cost=stage_cost, boundary_cost=boundary_cost,
         beta=beta, name="glider",
+        value_bounds=(
+            0.0,
+            max(miss_cost * 1.5,
+                (0.1 + 0.1 * alpha_max**2) / max(beta, 1e-6)),
+        ),
     )

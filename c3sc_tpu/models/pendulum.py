@@ -50,6 +50,7 @@ def make_pendulum_problem(
         # reflecting omega boundary: psi only used if regime changed to absorb
         return jnp.asarray(0.0)
 
+    g_sup = w_th * 4.0 + w_om * omega_max**2 + w_u * u_max**2
     return ControlProblem(
         dx=2, du=1, dw=1,
         lb=(-np.pi, -omega_max), ub=(np.pi, omega_max),
@@ -58,4 +59,5 @@ def make_pendulum_problem(
         drift=drift, diff=diff,
         stage_cost=stage_cost, boundary_cost=boundary_cost,
         beta=beta, name="pendulum",
+        value_bounds=(0.0, g_sup / max(beta, 1e-6)),
     )

@@ -91,4 +91,15 @@ def make_quadcopter_problem(
         drift=drift, diff=diff,
         stage_cost=stage_cost, boundary_cost=boundary_cost,
         beta=beta, name="quadcopter",
+        value_bounds=(0.0, max(exit_cost, _g_sup(
+            w_pos, w_th, w_vel, w_om, w_u, pos_max, th_max, vel_max, om_max,
+            u_max, hover) / max(beta, 1e-6))),
+    )
+
+
+def _g_sup(w_pos, w_th, w_vel, w_om, w_u, pos_max, th_max, vel_max, om_max,
+           u_max, hover):
+    return (
+        w_pos * 2 * pos_max**2 + w_th * th_max**2 + w_vel * 2 * vel_max**2
+        + w_om * om_max**2 + w_u * 2 * max(hover, u_max - hover) ** 2
     )

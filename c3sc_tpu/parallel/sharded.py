@@ -20,7 +20,7 @@ from c3sc_tpu.grids import Grid
 from c3sc_tpu.models.base import ControlProblem
 from c3sc_tpu.ops import mca
 from c3sc_tpu.ops.tt import TT, tt_gather_eval
-from c3sc_tpu.solvers.ttvi import _neighbor_indices
+from c3sc_tpu.solvers.ttvi import bellman_backup
 
 
 def make_sharded_bellman(problem: ControlProblem, grid: Grid, mesh: Mesh,
@@ -30,30 +30,14 @@ def make_sharded_bellman(problem: ControlProblem, grid: Grid, mesh: Mesh,
     B must divide the 'fibers' axis size, C the 'ctrl' axis size. Collective:
     per-shard min over its candidate block, then pmin over 'ctrl'.
     """
-    d = problem.dx
-
     def local_backup(v_tt: TT, idx, uc):
-        # idx: [B_local, d]; uc: [C_local, du]; v_tt replicated
-        x = grid.index_to_state(idx).astype(dtype)
-        nb = _neighbor_indices(grid, idx).reshape(-1, d)
-        vn = tt_gather_eval(v_tt, nb)
-        nx = grid.index_to_state(nb).astype(dtype)
-        t_mask, t_val = mca.node_terminal(problem, grid, nb, nx)
-        vn = jnp.where(t_mask, t_val.astype(dtype), vn).reshape(-1, 2, d)
-
-        def rhs_for_control(u):
-            pp, pm, dt = mca.transition_batch(
-                problem, grid, x, jnp.broadcast_to(u, (x.shape[0],) + u.shape)
-            )
-            g = jax.vmap(lambda xx: problem.stage_cost(xx, u))(x)
-            expect = jnp.sum(pp * vn[:, 0] + pm * vn[:, 1], axis=-1)
-            return g * dt + jnp.exp(-problem.beta * dt) * expect
-
-        rhs = jax.lax.map(rhs_for_control, uc)          # [C_local, B_local]
-        val = jnp.min(rhs, axis=0)                      # local candidate min
-        val = jax.lax.pmin(val, "ctrl")                 # global min over ICI
-        tm, tv = mca.node_terminal(problem, grid, idx, x)
-        return jnp.where(tm, tv.astype(dtype), val)
+        # idx: [B_local, d]; uc: [C_local, du]; v_tt replicated.
+        # Each shard mins over its candidate block (same fused backup as the
+        # single-chip kernel), then a pmin collective takes the global min
+        # over ICI. Terminal pinning/clamping are per-node and identical on
+        # every shard, so they commute with pmin.
+        val = bellman_backup(problem, grid, uc, v_tt, idx, dtype)
+        return jax.lax.pmin(val, "ctrl")
 
     smapped = shard_map(
         local_backup, mesh=mesh,

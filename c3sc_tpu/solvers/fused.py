@@ -75,18 +75,44 @@ def _orth_basis(C, noise, r_need, r_new, row_mask):
 
 def _interp_from_rows(qe, rows, r_new):
     """Interpolation core G = qe inv(qe[rows]) [m, R]; G[rows] = I on the
-    active block, padded cols exactly zero."""
+    active block, padded cols exactly zero.
+
+    A small scaled ridge keeps the solve finite when the pivot submatrix is
+    (near-)singular — a transiently bad pivot then yields a poor but FINITE
+    core instead of NaN-poisoning the whole while_loop state.
+    """
     R = qe.shape[1]
     col = jnp.arange(R)
     sub = qe[rows]                               # [R, R]
     sub = sub + jnp.diag((col >= r_new).astype(qe.dtype))
+    ridge = 1e-6 * jnp.maximum(jnp.max(jnp.abs(sub)), 1.0)
+    sub = sub + ridge * jnp.eye(R, dtype=qe.dtype)
     return jnp.linalg.solve(sub.T, qe.T).T
 
 
-def _pivot_rows(qe):
-    """Maxvol-proxy pivot rows via partial-pivoted LU."""
+def _pivot_rows(qe, r_new, n_swaps: int = 4):
+    """Maxvol pivot rows: partial-pivoted LU seed + greedy swap refinement.
+
+    Each refinement: build G = qe inv(qe[rows]); if max |G_ij| > 1 + tol,
+    row j of the pivot set is replaced by the offending row i — this is the
+    classic maxvol iteration and directly bounds the interpolation norm
+    (without it, occasional bad LU pivots give |G| >> 1 and the assembled
+    TT oscillates wildly between pivots).
+    """
+    R = qe.shape[1]
     _, _, perm = jax.lax.linalg.lu(qe)
-    return perm[: qe.shape[1]].astype(jnp.int32)
+    rows = perm[:R].astype(jnp.int32)
+
+    def step(rows, _):
+        G = _interp_from_rows(qe, rows, r_new)
+        flat = jnp.argmax(jnp.abs(G))
+        i, j = flat // R, flat % R
+        do_swap = (jnp.abs(G[i, j]) > 1.05) & (j < r_new)
+        rows = jnp.where(do_swap, rows.at[j].set(i.astype(jnp.int32)), rows)
+        return rows, None
+
+    rows, _ = jax.lax.scan(step, rows, None, length=n_swaps)
+    return rows
 
 
 def _rank_choice(C, eps_rank, kick, rmax_active):
@@ -174,7 +200,7 @@ def make_fused_vi(
             r_need, r_new = _rank_choice(C, eps_rank, kick,
                                          jnp.minimum(R, rl[k] * n))
             qe = _orth_basis(C, noise_l2r[k], r_need, r_new, row_mask)
-            rows = _pivot_rows(qe)
+            rows = _pivot_rows(qe, r_new)
             G = _interp_from_rows(qe, rows, r_new)
             new_cores[k] = G.reshape(R, n, R)
             a, i = rows // n, rows % n
@@ -211,7 +237,7 @@ def make_fused_vi(
             r_need, r_new = _rank_choice(M, eps_rank, kick,
                                          jnp.minimum(R, rr[k + 1] * n))
             qe = _orth_basis(M, noise_r2l[k], r_need, r_new, row_mask)
-            rows = _pivot_rows(qe)
+            rows = _pivot_rows(qe, r_new)
             G = _interp_from_rows(qe, rows, r_new)
             # core k: [c, i, b] = G[(i, b), c]
             new_cores[k] = G.reshape(n, R, R).transpose(2, 0, 1)

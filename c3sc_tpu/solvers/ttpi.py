@@ -86,6 +86,8 @@ def make_policy_eval_kernel(problem: ControlProblem, grid: Grid,
         u = jnp.clip(u, ulb, uub)  # [B, du]
         nb = _neighbor_indices(grid, idx).reshape(-1, d)
         vn = tt_gather_eval(v_tt, nb)
+        if problem.value_bounds is not None:
+            vn = jnp.clip(vn, problem.value_bounds[0], problem.value_bounds[1])
         nx = grid.index_to_state(nb).astype(dtype)
         t_mask, t_val = mca.node_terminal(problem, grid, nb, nx)
         vn = jnp.where(t_mask, t_val.astype(dtype), vn).reshape(-1, 2, d)
@@ -93,6 +95,8 @@ def make_policy_eval_kernel(problem: ControlProblem, grid: Grid,
         g = jax.vmap(problem.stage_cost)(x, u)
         expect = jnp.sum(pp * vn[:, 0] + pm * vn[:, 1], axis=-1)
         val = g * dt + jnp.exp(-problem.beta * dt) * expect
+        if problem.value_bounds is not None:
+            val = jnp.clip(val, problem.value_bounds[0], problem.value_bounds[1])
         tm, tv = mca.node_terminal(problem, grid, idx, x)
         return jnp.where(tm, tv.astype(dtype), val)
 

@@ -60,6 +60,10 @@ def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
     nb = _neighbor_indices(grid, idx)           # [B, 2, d, d]
     nb_flat = nb.reshape(-1, d)
     vn = tt_gather_eval(v_tt, nb_flat)          # [B*2*d]
+    if problem.value_bounds is not None:
+        # clamp TT evals into the provable value range: rank-limited
+        # approximation outliers cannot feed back through the backup
+        vn = jnp.clip(vn, problem.value_bounds[0], problem.value_bounds[1])
     # pin neighbor values at terminal neighbor nodes
     nx = grid.index_to_state(nb_flat).astype(dtype)
     t_mask, t_val = mca.node_terminal(problem, grid, nb_flat, nx)
@@ -76,6 +80,8 @@ def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
 
     rhs = jax.lax.map(rhs_for_control, uc)      # [C, B]
     val = jnp.min(rhs, axis=0)
+    if problem.value_bounds is not None:
+        val = jnp.clip(val, problem.value_bounds[0], problem.value_bounds[1])
     # pin terminal evaluation nodes
     tm, tv = mca.node_terminal(problem, grid, idx, x)
     return jnp.where(tm, tv.astype(dtype), val)

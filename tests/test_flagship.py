@@ -1,0 +1,51 @@
+"""Smoke tests for the >=4D flagship configs on CPU (small budgets): the
+solver must run, produce finite values, adapt ranks, and yield a working
+closed-loop policy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c3sc_tpu.models import make_glider_problem, make_quadcopter_problem
+from c3sc_tpu.ops.tt import tt_gather_eval, tt_lerp_eval
+from c3sc_tpu.sim import make_implicit_policy, rollout
+from c3sc_tpu.solvers.fused import fused_tt_vi
+
+
+def test_quadcopter_6d_smoke():
+    prob = make_quadcopter_problem(sigma_v=0.15, sigma_om=0.15)
+    grid = prob.default_grid(9)
+    controls = prob.control_candidates(3)
+    sol = fused_tt_vi(
+        prob, grid, controls=controls, rmax=8, key=jax.random.key(0),
+        tol=1e-3, max_iters=200, patience=60,
+    )
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(np.stack([rng.integers(0, n, 128) for n in grid.shape], -1), jnp.int32)
+    v = np.asarray(tt_gather_eval(sol.v, idx))
+    # rank-8 on 9^6 is deliberately under-resolved: smoke = finite + usable
+    assert np.all(np.isfinite(v))
+    ranks = np.asarray(sol.v.ranks)
+    assert ranks.max() > 1  # adapted beyond the rank-1 start
+    # closed loop: hover near origin beats drifting to the box edge
+    policy = make_implicit_policy(
+        prob, grid, lambda p: tt_lerp_eval(sol.v, grid, p), controls
+    )
+    x0 = jnp.tile(jnp.zeros(6), (16, 1))
+    traj = rollout(prob, grid, policy, x0, jax.random.key(1), dt=0.01, n_steps=150)
+    assert np.asarray(traj.alive[-1]).mean() > 0.5
+
+
+def test_glider_4d_smoke():
+    prob = make_glider_problem()
+    grid = prob.default_grid((11, 9, 9, 9))
+    controls = prob.control_candidates(5)
+    sol = fused_tt_vi(
+        prob, grid, controls=controls, rmax=8, key=jax.random.key(2),
+        tol=1e-3, max_iters=200, patience=60,
+    )
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(np.stack([rng.integers(0, n, 128) for n in grid.shape], -1), jnp.int32)
+    v = np.asarray(tt_gather_eval(sol.v, idx))
+    assert np.all(np.isfinite(v))
+    assert np.asarray(sol.v.ranks).max() > 1
