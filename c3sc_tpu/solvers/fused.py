@@ -38,6 +38,7 @@ import numpy as np
 
 from c3sc_tpu.grids import Grid
 from c3sc_tpu.models.base import ControlProblem
+from c3sc_tpu.ops import mca
 from c3sc_tpu.ops.tt import TT, tt_gather_eval
 from c3sc_tpu.solvers.ttvi import bellman_backup
 
@@ -57,20 +58,32 @@ class FusedCarry(NamedTuple):
     v_sample: jnp.ndarray # [S]
 
 
-def _orth_basis(C, noise, r_need, r_new, row_mask):
-    """Orthonormal basis of the (kick-enriched) fiber column space [m, R]."""
+def _orth_basis_and_rank(C, noise, eps_rank, kick, rmax_active, row_mask):
+    """One QR of the fiber matrix serves both rank estimation and the
+    (kick-enriched) orthonormal basis.
+
+    - singular values come from the small [R, R] triangular factor
+      (svd(C) == svd(R_qr) exactly) — avoids a second tall decomposition;
+    - kick columns are Gram-Schmidt-orthogonalized against q instead of a
+      second tall QR (colspace accuracy is all pivoting/interp need).
+    Returns (qe [m, R], r_need, r_new).
+    """
     m, R = C.shape
     col = jnp.arange(R)
-    q, _ = jnp.linalg.qr(C)                      # [m, R]
+    q, rfac = jnp.linalg.qr(C)                   # [m, R], [R, R]
+    s = jnp.linalg.svd(rfac, compute_uv=False)   # == singular values of C
+    smax = jnp.maximum(s[0], 1e-30)
+    r_need = jnp.maximum(jnp.sum(s > eps_rank * smax).astype(jnp.int32), 1)
+    r_new = jnp.clip(r_need + kick, 1, rmax_active)
     r_keep = jnp.minimum(r_need, r_new)
     keepmask = (col < r_keep).astype(C.dtype)
     kickmask = ((col >= r_keep) & (col < r_new)).astype(C.dtype)
-    m2 = q * keepmask[None, :] + noise * row_mask[:, None] * kickmask[None, :]
-    qe, _ = jnp.linalg.qr(m2)
-    qe = qe * (col < r_new).astype(C.dtype)[None, :]
-    # zero padded rows (qr can leave garbage orthonormal directions there)
+    z = noise * row_mask[:, None]
+    z = z - q @ (q.T @ z)                        # orthogonalize vs q
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=0, keepdims=True), 1e-12)
+    qe = q * keepmask[None, :] + z * kickmask[None, :]
     qe = qe * row_mask[:, None]
-    return qe
+    return qe, r_need, r_new
 
 
 def _interp_from_rows(qe, rows, r_new):
@@ -115,12 +128,106 @@ def _pivot_rows(qe, r_new, n_swaps: int = 4):
     return rows
 
 
-def _rank_choice(C, eps_rank, kick, rmax_active):
-    s = jnp.linalg.svd(C, compute_uv=False)
-    smax = jnp.maximum(s[0], 1e-30)
-    r_need = jnp.maximum(jnp.sum(s > eps_rank * smax).astype(jnp.int32), 1)
-    r_new = jnp.clip(r_need + kick, 1, rmax_active)
-    return r_need, r_new
+def _shift_coord(j, m: int, sign: int, grid: Grid):
+    """Neighbor coordinate under boundary rules (matches Grid.neighbor_index)."""
+    n = grid.shape[m]
+    if grid.periodic[m]:
+        return jnp.mod(j + sign, n)
+    return jnp.clip(j + sign, 0, n - 1)
+
+
+def make_structured_fiber_eval(grid: Grid, k: int, rmax: int, dtype=jnp.float32):
+    """Structured TT evaluation on a cross-fiber block + ALL +-1 neighbors.
+
+    The TPU-native ``valuef_eval_fiber_ind_nn`` (reference:
+    ``c3sc/src/valuefunc.c`` — line n/a, empty mount; SURVEY.md §2.1 L5 —
+    "this is what makes MCA+FT fast"): the evaluation set I_k x grid_k x
+    J_{k+1} is a structured block, so prefix/suffix partial products are
+    shared across the whole block. Per left row we cache forward interface
+    vectors and backward suffix matrices; a dim-m neighbor then costs two
+    small matvecs instead of a fresh d-core chain, and each of the 2d+1
+    value tensors assembles with ONE [R,R] x [R,n,R] x [R,R] einsum —
+    O(d n R^3) total vs O(d^2 n R^4) for independent gather-evals, with no
+    [B, R, R] gather materialization (the HBM-bandwidth killer).
+
+    Returns fn(cores, left_k [R,d], right_k1 [R,d]) ->
+      (vp [d, R, n, R], vm [d, R, n, R]) neighbor values (+ and - per dim).
+    """
+    d = grid.ndim
+    R = rmax
+    n = shape_k = grid.shape[k]
+    plus_map = np.arange(n) + 1
+    minus_map = np.arange(n) - 1
+    if grid.periodic[k]:
+        plus_map %= n
+        minus_map %= n
+    else:
+        plus_map = np.clip(plus_map, 0, n - 1)
+        minus_map = np.clip(minus_map, 0, n - 1)
+    plus_map = jnp.asarray(plus_map)
+    minus_map = jnp.asarray(minus_map)
+
+    def fn(cores, left_k, right_k1):
+        e0 = jnp.zeros((R,), dtype).at[0].set(1.0)
+
+        def left_row(idxrow):
+            p = e0
+            ps = []
+            for j in range(k):
+                ps.append(p)
+                p = p @ cores[j][:, idxrow[j], :]
+            S = jnp.eye(R, dtype=dtype)
+            Ss = [None] * k
+            for j in range(k - 1, -1, -1):
+                Ss[j] = S
+                S = cores[j][:, idxrow[j], :] @ S
+            pp, pm = [], []
+            for m in range(k):
+                for sign, acc in ((1, pp), (-1, pm)):
+                    jn = _shift_coord(idxrow[m], m, sign, grid)
+                    acc.append((ps[m] @ cores[m][:, jn, :]) @ Ss[m])
+            stack = lambda xs: (jnp.stack(xs) if xs else jnp.zeros((0, R), dtype))
+            return p, stack(pp), stack(pm)
+
+        def right_row(idxrow):
+            s = e0
+            sa = [None] * d  # sa[j]: suffix vector for cores j+1..d-1
+            for j in range(d - 1, k, -1):
+                sa[j] = s
+                s = cores[j][:, idxrow[j], :] @ s
+            T = jnp.eye(R, dtype=dtype)
+            Ts = [None] * d  # Ts[j]: prefix matrix cores k+1..j-1
+            for j in range(k + 1, d):
+                Ts[j] = T
+                T = T @ cores[j][:, idxrow[j], :]
+            sp, sm = [], []
+            for m in range(k + 1, d):
+                for sign, acc in ((1, sp), (-1, sm)):
+                    jn = _shift_coord(idxrow[m], m, sign, grid)
+                    acc.append(Ts[m] @ (cores[m][:, jn, :] @ sa[m]))
+            stack = lambda xs: (jnp.stack(xs) if xs else jnp.zeros((0, R), dtype))
+            return s, stack(sp), stack(sm)
+
+        p0, Pp, Pm = jax.vmap(left_row)(left_k)     # [R,R], [R,k,R], [R,k,R]
+        s0, Sp, Sm = jax.vmap(right_row)(right_k1)  # [R,R], [R,d-k-1,R] x2
+
+        G = cores[k]
+        mix = lambda a, g, b: jnp.einsum("ar,rns,bs->anb", a, g, b)
+        vp, vm = [], []
+        for m in range(d):
+            if m < k:
+                vp.append(mix(Pp[:, m], G, s0))
+                vm.append(mix(Pm[:, m], G, s0))
+            elif m == k:
+                vp.append(mix(p0, G[:, plus_map, :], s0))
+                vm.append(mix(p0, G[:, minus_map, :], s0))
+            else:
+                mi = m - k - 1
+                vp.append(mix(p0, G, Sp[:, mi]))
+                vm.append(mix(p0, G, Sm[:, mi]))
+        return jnp.stack(vp), jnp.stack(vm)  # [d, R, n, R] each
+
+    return fn
 
 
 def make_fused_vi(
@@ -177,11 +284,50 @@ def make_fused_vi(
         idx = jnp.where(dimcol < k, A, jnp.where(dimcol == k, I, B))
         return idx.astype(jnp.int32)
 
+    struct_eval = [
+        make_structured_fiber_eval(grid, k, R, dtype) for k in range(d)
+    ]
+    vb = problem.value_bounds
+
     def _eval_fibers(cores, ranks, k, left_k, right_k1):
-        v_tt = TT(cores, ranks)
-        idx = _build_idx(k, left_k, right_k1).reshape(-1, d)
-        vals = bellman_backup(problem, grid, uc, v_tt, idx, dtype)
-        return vals.reshape(R, shape[k], R)
+        """Bellman backup on the structured fiber block via the amortized
+        neighbor evaluator (no per-point TT gathers)."""
+        del ranks  # padded-zero cores make the products exact on their own
+        n = shape[k]
+        vp, vm = struct_eval[k](cores, left_k, right_k1)   # [d, R, n, R] x2
+        B = R * n * R
+        flat_idx = _build_idx(k, left_k, right_k1).reshape(-1, d)
+        x = grid.index_to_state(flat_idx).astype(dtype)    # [B, d]
+        vn = jnp.stack([vp, vm], axis=0).reshape(2, d, B).transpose(2, 0, 1)
+        if vb is not None:
+            vn = jnp.clip(vn, vb[0], vb[1])
+        # pin neighbor values at terminal neighbor nodes
+        for si, sign in enumerate((1, -1)):
+            for m in range(d):
+                nb = flat_idx.at[:, m].set(
+                    _shift_coord(flat_idx[:, m], m, sign, grid)
+                )
+                nxs = grid.index_to_state(nb).astype(dtype)
+                tmn, tvn = mca.node_terminal(problem, grid, nb, nxs)
+                vn = vn.at[:, si, m].set(
+                    jnp.where(tmn, tvn.astype(dtype), vn[:, si, m])
+                )
+
+        def rhs_for_control(u):
+            pp, pm, dtt = mca.transition_batch(
+                problem, grid, x, jnp.broadcast_to(u, (B,) + u.shape)
+            )
+            g = jax.vmap(lambda xx: problem.stage_cost(xx, u))(x)
+            expect = jnp.sum(pp * vn[:, 0] + pm * vn[:, 1], axis=-1)
+            return g * dtt + jnp.exp(-problem.beta * dtt) * expect
+
+        rhs = jax.vmap(rhs_for_control)(uc)                # [C, B]
+        val = jnp.min(rhs, axis=0)
+        if vb is not None:
+            val = jnp.clip(val, vb[0], vb[1])
+        tm, tv = mca.node_terminal(problem, grid, flat_idx, x)
+        val = jnp.where(tm, tv.astype(dtype), val)
+        return val.reshape(R, n, R)
 
     def body(carry: FusedCarry) -> FusedCarry:
         cores_prev, ranks_prev = carry.cores, carry.ranks
@@ -197,9 +343,10 @@ def make_fused_vi(
             row_mask = jnp.repeat((jnp.arange(R) < rl[k]), n).astype(dtype)
             col_mask = (jnp.arange(R) < rr[k + 1]).astype(dtype)
             C = vals.reshape(R * n, R) * row_mask[:, None] * col_mask[None, :]
-            r_need, r_new = _rank_choice(C, eps_rank, kick,
-                                         jnp.minimum(R, rl[k] * n))
-            qe = _orth_basis(C, noise_l2r[k], r_need, r_new, row_mask)
+            qe, r_need, r_new = _orth_basis_and_rank(
+                C, noise_l2r[k], eps_rank, kick,
+                jnp.minimum(R, rl[k] * n), row_mask,
+            )
             rows = _pivot_rows(qe, r_new)
             G = _interp_from_rows(qe, rows, r_new)
             new_cores[k] = G.reshape(R, n, R)
@@ -234,9 +381,10 @@ def make_fused_vi(
             row_mask = jnp.tile((jnp.arange(R) < rr[k + 1]), n).astype(dtype)
             col_mask = (jnp.arange(R) < rl[k]).astype(dtype)
             M = M * row_mask[:, None] * col_mask[None, :]
-            r_need, r_new = _rank_choice(M, eps_rank, kick,
-                                         jnp.minimum(R, rr[k + 1] * n))
-            qe = _orth_basis(M, noise_r2l[k], r_need, r_new, row_mask)
+            qe, r_need, r_new = _orth_basis_and_rank(
+                M, noise_r2l[k], eps_rank, kick,
+                jnp.minimum(R, rr[k + 1] * n), row_mask,
+            )
             rows = _pivot_rows(qe, r_new)
             G = _interp_from_rows(qe, rows, r_new)
             # core k: [c, i, b] = G[(i, b), c]
