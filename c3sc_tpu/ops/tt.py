@@ -261,6 +261,64 @@ def tt_norm(tt: TT) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(tt_dot(tt, tt), 0.0))
 
 
+def tt_mult(a: TT, b: TT) -> TT:
+    """Elementwise (Hadamard) product; representation ranks multiply.
+
+    Reference: ``function_train_mult`` (C3 ``src/lib_clinalg/ft.c`` — line
+    n/a, empty mount; SURVEY.md §2.2). Requires rank(a)*rank(b) <= R at
+    every boundary (ranks are clamped; round afterwards to recompress).
+    """
+    d = a.ndim
+    R = a.rmax
+    cores = []
+    ranks = [jnp.asarray(1, jnp.int32)]
+    for k in range(d):
+        ca, cb = a.cores[k], b.cores[k]
+        n = ca.shape[1]
+        # Kronecker per slice: out[(i1 i2), n, (j1 j2)] = ca[i1,n,j1]*cb[i2,n,j2]
+        kron = jnp.einsum("anb,cnd->acnbd", ca, cb).reshape(R * R, n, R * R)
+        # compact the active block: active rows are (i1 < ra, i2 < rb) at
+        # position i1*R+i2; gather them into the leading ra*rb rows
+        ra_l, rb_l = a.ranks[k], b.ranks[k]
+        ra_r, rb_r = a.ranks[k + 1], b.ranks[k + 1]
+        row_src = (jnp.arange(R * R) // rb_l) * R + jnp.arange(R * R) % rb_l
+        col_src = (jnp.arange(R * R) // rb_r) * R + jnp.arange(R * R) % rb_r
+        packed = kron[jnp.clip(row_src, 0, R * R - 1)][:, :, jnp.clip(col_src, 0, R * R - 1)]
+        out = packed[:R, :, :R]
+        cores.append(out)
+        ranks.append(jnp.minimum(ra_r * rb_r, R))
+    out_tt = TT(tuple(cores), jnp.stack(ranks))
+    return mask_cores(out_tt)
+
+
+def tt_integrate(tt: TT, grid=None, weights: Sequence | None = None) -> jnp.ndarray:
+    """Integral of the (multilinear-interpolated) TT over the grid box.
+
+    Reference: ``function_train_integrate`` (C3 ``src/lib_clinalg/ft.c`` +
+    ``lib_quadrature`` — line n/a, empty mount; SURVEY.md §2.2). With the
+    linelm class the exact integral is the trapezoid rule over nodes;
+    periodic dims use uniform weights (rectangle rule over the circle).
+    Pass explicit per-dim ``weights`` to override.
+    """
+    d = tt.ndim
+    v = None
+    for k in range(d):
+        n = tt.cores[k].shape[1]
+        if weights is not None:
+            w = jnp.asarray(weights[k])
+        elif grid is not None:
+            h = float(grid.h[k])
+            if grid.periodic[k]:
+                w = jnp.full((n,), h)
+            else:
+                w = jnp.full((n,), h).at[0].mul(0.5).at[n - 1].mul(0.5)
+        else:
+            w = jnp.ones((n,))
+        m = jnp.einsum("rns,n->rs", tt.cores[k], w.astype(tt.cores[k].dtype))
+        v = m[0] if v is None else v @ m
+    return v[0]
+
+
 # -------------------------------------------------------------------- rounding
 
 

@@ -24,11 +24,16 @@ def make_implicit_policy(
     grid: Grid,
     value_fn: Callable,
     controls,
+    refine_steps: int = 0,
 ):
     """Build policy(x [..., d]) -> u [..., du].
 
     value_fn: batched points [..., d] -> values [...] (dense-interp or TT).
     controls: [C, du] candidate set.
+    refine_steps > 0 polishes the brute-force winner with that many batched
+    projected-gradient steps (continuous-control accuracy beyond the
+    candidate grid spacing — the reference's c3opt BFGS mode, SURVEY.md
+    §2.2, as a fixed-iteration batched optimizer).
     """
     uc = jnp.asarray(controls)
     d = problem.dx
@@ -54,6 +59,15 @@ def make_implicit_policy(
             lambda xx, vv: jax.vmap(lambda u: rhs_one(xx, vv, u))(uc)
         )(xf, vnb)  # [B, C]
         best = jnp.argmin(rhs, axis=-1)
-        return uc[best].reshape(*batch_shape, problem.du)
+        u = uc[best]  # [B, du]
+        if refine_steps > 0:
+            from c3sc_tpu.ops.argmin import pgd_minimize
+
+            f = lambda ub: jax.vmap(rhs_one)(xf, vnb, ub)
+            u, _ = pgd_minimize(
+                f, u, jnp.asarray(problem.ulb, u.dtype),
+                jnp.asarray(problem.uub, u.dtype), n_iters=refine_steps,
+            )
+        return u.reshape(*batch_shape, problem.du)
 
     return policy
