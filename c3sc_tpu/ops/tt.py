@@ -319,6 +319,32 @@ def tt_integrate(tt: TT, grid=None, weights: Sequence | None = None) -> jnp.ndar
     return v[0]
 
 
+def tt_refine_grid(tt: TT, grid_coarse, grid_fine) -> TT:
+    """Prolong a TT from a coarse grid to a finer grid (linelm-exact).
+
+    Because cores hold node values of the linear-element class, refinement
+    is per-core 1-D lerp of node slices — the TT of the SAME continuous
+    function on the finer grid (ranks unchanged). Used by the multilevel
+    solver: coarse grids contract fast (larger beta*dt), fine levels start
+    warm.
+    """
+    assert tt.ndim == grid_coarse.ndim == grid_fine.ndim
+    cores = []
+    for k in range(tt.ndim):
+        xf = jnp.asarray(grid_fine.nodes(k))
+        hc = float(grid_coarse.h[k])
+        nc = grid_coarse.shape[k]
+        t = (xf - grid_coarse.lb[k]) / hc
+        cell = jnp.floor(t).astype(jnp.int32)
+        hi = nc - 1 if grid_coarse.periodic[k] else nc - 2
+        cell = jnp.clip(cell, 0, max(hi, 0))
+        w = jnp.clip(t - cell, 0.0, 1.0).astype(tt.cores[k].dtype)
+        j1 = jnp.mod(cell + 1, nc) if grid_coarse.periodic[k] else jnp.clip(cell + 1, 0, nc - 1)
+        c = tt.cores[k]
+        cores.append(c[:, cell, :] * (1 - w)[None, :, None] + c[:, j1, :] * w[None, :, None])
+    return TT(tuple(cores), tt.ranks)
+
+
 # -------------------------------------------------------------------- rounding
 
 

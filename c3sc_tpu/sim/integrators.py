@@ -66,13 +66,16 @@ def rollout(
     dt: float,
     n_steps: int,
     policy_every: int = 1,
+    method: str = "euler_maruyama",
 ) -> Trajectory:
-    """Euler–Maruyama closed-loop rollouts.
+    """Closed-loop rollouts.
 
     x0: [B, d] initial states;  policy: x [B, d] -> u [B, du].
     policy_every: recompute the (expensive) implicit argmin every k steps —
     zero-order-hold in between (the reference's per-step fresh c3opt solve
     corresponds to policy_every=1).
+    method: 'euler_maruyama' (SDE, default), 'euler' or 'rk4'
+    (deterministic — reference integrator_set_type parity, SURVEY.md §2.1).
     """
     B = x0.shape[0]
     dtf = jnp.asarray(dt, x0.dtype)
@@ -86,10 +89,19 @@ def rollout(
         x, u_prev, cost, alive, t, texit = carry
         k, i = inp
         u = jax.lax.cond(i % policy_every == 0, lambda: policy(x), lambda: u_prev)
-        f = drift_b(x, u)
-        L = diff_b(x, u)
-        noise = jax.random.normal(k, (B, problem.dw), x.dtype)
-        xn = x + f * dtf + jnp.einsum("bij,bj->bi", L, noise) * sqdt
+        if method == "rk4":
+            k1 = drift_b(x, u)
+            k2 = drift_b(x + 0.5 * dtf * k1, u)
+            k3 = drift_b(x + 0.5 * dtf * k2, u)
+            k4 = drift_b(x + dtf * k3, u)
+            xn = x + (dtf / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        elif method == "euler":
+            xn = x + drift_b(x, u) * dtf
+        else:  # euler_maruyama
+            f = drift_b(x, u)
+            L = diff_b(x, u)
+            noise = jax.random.normal(k, (B, problem.dw), x.dtype)
+            xn = x + f * dtf + jnp.einsum("bij,bj->bi", L, noise) * sqdt
         xn, absorbed_now = _apply_boundaries(problem, grid, xn)
         newly = absorbed_now & alive
         disc = jnp.exp(-problem.beta * t)

@@ -50,12 +50,15 @@ class FusedCarry(NamedTuple):
     right: jnp.ndarray    # [d+1, R, d] int32
     rl: jnp.ndarray       # [d+1] int32 active left-set sizes
     rr: jnp.ndarray       # [d+1] int32 active right-set sizes
+    rows_l: jnp.ndarray     # [d, R] int32 — pivot rows per core (L2R)
+    rows_r: jnp.ndarray     # [d, R] int32 — pivot rows per core (R2L)
     key: jnp.ndarray
-    it: jnp.ndarray       # int32
-    residual: jnp.ndarray # float
-    best_res: jnp.ndarray # float — best residual seen (plateau detection)
-    stall: jnp.ndarray    # int32 — iterations since best_res improved
-    v_sample: jnp.ndarray # [S]
+    it: jnp.ndarray         # int32
+    residual: jnp.ndarray   # float — per-iteration sample change
+    long_res: jnp.ndarray   # float — sample change over the last window
+    wstall: jnp.ndarray     # int32 — windows without long_res improvement
+    v_sample: jnp.ndarray   # [S]
+    sample_ref: jnp.ndarray # [S] — snapshot at the last window boundary
 
 
 def _orth_basis_and_rank(C, noise, eps_rank, kick, rmax_active, row_mask):
@@ -126,6 +129,45 @@ def _pivot_rows(qe, r_new, n_swaps: int = 4):
 
     rows, _ = jax.lax.scan(step, rows, None, length=n_swaps)
     return rows
+
+
+def _logvol(qe, rows, r_new):
+    """log |det| of the active pivot submatrix (inactive block -> identity)."""
+    R = qe.shape[1]
+    col = jnp.arange(R)
+    sub = qe[rows] + jnp.diag((col >= r_new).astype(qe.dtype))
+    _, logdet = jnp.linalg.slogdet(sub)
+    return logdet
+
+
+def _hysteresis_rank(r_need, r_adapt, r_prev, kick, it, warmup: int = 60):
+    """Rank selection with hysteresis: keep the previous rank unless the
+    estimated need genuinely grew past it, or dropped well below it (the
+    f32 singular-value tail makes the raw count jitter by +-1-2 every
+    sweep, and every rank change forces a pivot reset)."""
+    grow = r_need > r_prev
+    shrink = r_need + kick < r_prev - 1
+    return jnp.where((it < warmup) | grow | shrink, r_adapt, r_prev)
+
+
+def _hysteresis_rows(qe, rows_prev, r_new, r_prev, it, warmup: int = 60,
+                     log_gain: float = 0.4):
+    """Pivot selection with hysteresis.
+
+    Fresh LU/maxvol pivots every sweep inject approximation noise that VI
+    amplifies by 1/(1-gamma); hard-frozen pivots go unstable when the value
+    drifts. Hysteresis keeps the PREVIOUS pivot set unless the fresh one
+    improves submatrix volume by exp(log_gain) (or the rank changed, or
+    we're still in the adaptation warmup) — near the fixed point the sweep
+    becomes deterministic, far from it pivots still track the function.
+    """
+    rows_new = _pivot_rows(qe, r_new)
+    switch = (
+        (it < warmup)
+        | (r_new != r_prev)
+        | (_logvol(qe, rows_new, r_new) > _logvol(qe, rows_prev, r_new) + log_gain)
+    )
+    return jnp.where(switch, rows_new, rows_prev)
 
 
 def _shift_coord(j, m: int, sign: int, grid: Grid):
@@ -236,11 +278,12 @@ def make_fused_vi(
     controls,
     rmax: int = 16,
     kick: int = 2,
-    eps_rank: float = 1e-5,
+    eps_rank: float = 1e-4,
     tol: float = 1e-4,
     max_iters: int = 2000,
     sample_size: int = 256,
-    patience: int = 150,
+    window: int = 50,
+    patience: int = 6,
     dtype=jnp.float32,
 ):
     """Build the jitted fused solver. Returns (solve_fn, init_fn, step_fn).
@@ -248,11 +291,13 @@ def make_fused_vi(
     init_fn(key, v0=None) -> FusedCarry;  solve_fn(carry) -> FusedCarry
     (runs while_loop to convergence). Both jittable; solve_fn is jitted.
 
-    Stopping: residual < tol, OR no residual improvement for ``patience``
-    iterations. The successive-iterate residual plateaus at the TT
-    truncation error of the rank cap (pivot re-selection makes the
-    approximation fluctuate at that level, which is also the accuracy
-    limit) — plateau detection stops there instead of burning iterations.
+    Stopping (any of):
+      - per-iteration sample residual < tol;
+      - change over a whole ``window`` of iterations < tol (slowly
+        contracting VI converges even when per-iteration noise from pivot
+        re-selection dominates the single-step residual);
+      - ``patience`` consecutive windows without 2% long-residual
+        improvement — the plateau at the TT truncation floor.
     """
     d = problem.dx
     R = rmax
@@ -332,6 +377,7 @@ def make_fused_vi(
     def body(carry: FusedCarry) -> FusedCarry:
         cores_prev, ranks_prev = carry.cores, carry.ranks
         left, right, rl, rr = carry.left, carry.right, carry.rl, carry.rr
+        rows_l, rows_r = carry.rows_l, carry.rows_r
         key = carry.key
         new_cores = list(cores_prev)
         new_ranks = [jnp.asarray(1, jnp.int32)] * (d + 1)
@@ -343,11 +389,13 @@ def make_fused_vi(
             row_mask = jnp.repeat((jnp.arange(R) < rl[k]), n).astype(dtype)
             col_mask = (jnp.arange(R) < rr[k + 1]).astype(dtype)
             C = vals.reshape(R * n, R) * row_mask[:, None] * col_mask[None, :]
-            qe, r_need, r_new = _orth_basis_and_rank(
+            qe, r_need, r_adapt = _orth_basis_and_rank(
                 C, noise_l2r[k], eps_rank, kick,
                 jnp.minimum(R, rl[k] * n), row_mask,
             )
-            rows = _pivot_rows(qe, r_new)
+            r_new = _hysteresis_rank(r_need, r_adapt, rl[k + 1], kick, carry.it)
+            rows = _hysteresis_rows(qe, rows_l[k], r_new, rl[k + 1], carry.it)
+            rows_l = rows_l.at[k].set(rows)
             G = _interp_from_rows(qe, rows, r_new)
             new_cores[k] = G.reshape(R, n, R)
             a, i = rows // n, rows % n
@@ -381,11 +429,13 @@ def make_fused_vi(
             row_mask = jnp.tile((jnp.arange(R) < rr[k + 1]), n).astype(dtype)
             col_mask = (jnp.arange(R) < rl[k]).astype(dtype)
             M = M * row_mask[:, None] * col_mask[None, :]
-            qe, r_need, r_new = _orth_basis_and_rank(
+            qe, r_need, r_adapt = _orth_basis_and_rank(
                 M, noise_r2l[k], eps_rank, kick,
                 jnp.minimum(R, rr[k + 1] * n), row_mask,
             )
-            rows = _pivot_rows(qe, r_new)
+            r_new = _hysteresis_rank(r_need, r_adapt, rr[k], kick, carry.it)
+            rows = _hysteresis_rows(qe, rows_r[k], r_new, rr[k], carry.it)
+            rows_r = rows_r.at[k].set(rows)
             G = _interp_from_rows(qe, rows, r_new)
             # core k: [c, i, b] = G[(i, b), c]
             new_cores[k] = G.reshape(n, R, R).transpose(2, 0, 1)
@@ -413,13 +463,21 @@ def make_fused_vi(
         new_sample = tt_gather_eval(v_new, sample_idx)
         scale = jnp.maximum(jnp.max(jnp.abs(new_sample)), 1e-12)
         residual = jnp.max(jnp.abs(new_sample - carry.v_sample)) / scale
-        improved = residual < carry.best_res * 0.98
-        best_res = jnp.minimum(carry.best_res, residual)
-        stall = jnp.where(improved, 0, carry.stall + 1)
+        # windowed long-baseline residual (robust to per-iteration pivot noise)
+        at_boundary = jnp.mod(carry.it + 1, window) == 0
+        long_new = jnp.max(jnp.abs(new_sample - carry.sample_ref)) / scale
+        improved = long_new < carry.long_res * 0.98
+        wstall = jnp.where(
+            at_boundary, jnp.where(improved, 0, carry.wstall + 1), carry.wstall
+        )
+        long_res = jnp.where(at_boundary, long_new, carry.long_res)
+        sample_ref = jnp.where(at_boundary, new_sample, carry.sample_ref)
         return FusedCarry(
             cores=tuple(new_cores), ranks=ranks_new, left=left, right=right,
-            rl=rl, rr=rr, key=key, it=carry.it + 1, residual=residual,
-            best_res=best_res, stall=stall, v_sample=new_sample,
+            rl=rl, rr=rr, rows_l=rows_l, rows_r=rows_r, key=key,
+            it=carry.it + 1, residual=residual,
+            long_res=long_res, wstall=wstall, v_sample=new_sample,
+            sample_ref=sample_ref,
         )
 
     def init_fn(key, v0: TT | None = None) -> FusedCarry:
@@ -443,16 +501,24 @@ def make_fused_vi(
             cores=cores, ranks=ranks,
             left=jnp.asarray(left), right=jnp.asarray(right),
             rl=jnp.asarray(r0), rr=jnp.asarray(r0),
+            rows_l=jnp.zeros((d, R), jnp.int32),
+            rows_r=jnp.zeros((d, R), jnp.int32),
             key=key, it=jnp.asarray(0, jnp.int32),
             residual=jnp.asarray(jnp.inf, dtype),
-            best_res=jnp.asarray(jnp.inf, dtype),
-            stall=jnp.asarray(0, jnp.int32), v_sample=v_sample,
+            long_res=jnp.asarray(jnp.inf, dtype),
+            wstall=jnp.asarray(0, jnp.int32), v_sample=v_sample,
+            sample_ref=v_sample,
         )
 
     @jax.jit
     def solve_fn(carry: FusedCarry) -> FusedCarry:
         def cond(c):
-            return (c.it < max_iters) & (c.residual > tol) & (c.stall < patience)
+            return (
+                (c.it < max_iters)
+                & (c.residual > tol)
+                & (c.long_res > tol)
+                & (c.wstall < patience)
+            )
         return jax.lax.while_loop(cond, body, carry)
 
     @jax.jit
@@ -470,6 +536,7 @@ class FusedVISolution:
     wall_time: float
     carry: FusedCarry
     controls: np.ndarray
+    bellman_residual: float = float("nan")
 
 
 def fused_tt_vi(
@@ -482,9 +549,10 @@ def fused_tt_vi(
     tol: float = 1e-4,
     max_iters: int = 2000,
     kick: int = 2,
-    eps_rank: float = 1e-5,
+    eps_rank: float = 1e-4,
     sample_size: int = 256,
-    patience: int = 150,
+    window: int = 50,
+    patience: int = 6,
     dtype=jnp.float32,
     v0: TT | None = None,
     carry: FusedCarry | None = None,
@@ -497,15 +565,15 @@ def fused_tt_vi(
     solve_fn, init_fn, _ = make_fused_vi(
         problem, grid, controls, rmax=rmax, kick=kick, eps_rank=eps_rank,
         tol=tol, max_iters=max_iters, sample_size=sample_size,
-        patience=patience, dtype=dtype,
+        window=window, patience=patience, dtype=dtype,
     )
     if carry is None:
         carry = init_fn(key, v0)
     else:
         # fresh stopping state for the warm restart
         carry = carry._replace(
-            stall=jnp.zeros_like(carry.stall),
-            best_res=jnp.full_like(carry.best_res, jnp.inf),
+            wstall=jnp.zeros_like(carry.wstall),
+            long_res=jnp.full_like(carry.long_res, jnp.inf),
         )
     t0 = time.time()
     out = solve_fn(carry)

@@ -21,9 +21,9 @@ def test_pendulum_control_sequence_parity():
     controls = prob.control_candidates(9)
 
     dense = dense_vi(prob, grid, controls=controls, tol=1e-5, max_outer=400, chunk=100)
-    sol = fused_tt_vi(prob, grid, controls=controls, rmax=20,
+    sol = fused_tt_vi(prob, grid, controls=controls, rmax=24,
                       key=jax.random.key(0), tol=2e-4, max_iters=2500,
-                      patience=200)
+                      eps_rank=1e-5, patience=40)
 
     pol_dense = make_implicit_policy(
         prob, grid, lambda p: multilinear_interp(grid, dense.v, p), controls
