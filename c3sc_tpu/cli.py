@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outdir", type=str, default=None)
     p.add_argument("--load", type=str, default=None, help="load saved value fn / checkpoint")
     p.add_argument("--save-every", type=int, default=100, help="checkpoint cadence")
+    p.add_argument("--probe", type=int, default=0,
+                   help="fused solver: closed-loop probe rollouts for best-iterate harvesting")
     p.add_argument("--plot", action="store_true", help="write value/trajectory plots")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("-v", "--verbose", action="count", default=0)
@@ -97,7 +99,9 @@ def main(argv=None):
             fkw = dict(common)
             for drop in ("cross_tol", "verbose", "metrics"):
                 fkw.pop(drop, None)
-            sol = fused_tt_vi(prob, grid, max_iters=args.max_iters, **fkw)
+            sol = fused_tt_vi(prob, grid, max_iters=args.max_iters,
+                              probe_rollouts=args.probe, probe_dt=args.dt,
+                              **fkw)
             save_solver_state(ckpt, sol.v, None, sol.iterations)
             summary = dict(solver="fused", residual=float(sol.residual),
                            iterations=sol.iterations,

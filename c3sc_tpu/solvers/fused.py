@@ -59,6 +59,12 @@ class FusedCarry(NamedTuple):
     wstall: jnp.ndarray     # int32 — windows without long_res improvement
     v_sample: jnp.ndarray   # [S]
     sample_ref: jnp.ndarray # [S] — snapshot at the last window boundary
+    # closed-loop probe harvesting (optional): realized probe cost is the
+    # deliverable metric and is robust where sampled residuals are not
+    probe_cost: jnp.ndarray # float — last probe's mean discounted cost
+    best_cost: jnp.ndarray  # float — best probe cost seen
+    cores_best: tuple       # cores snapshot at best_cost
+    ranks_best: jnp.ndarray # [d+1]
 
 
 def _orth_basis_and_rank(C, noise, eps_rank, kick, rmax_active, row_mask):
@@ -284,6 +290,10 @@ def make_fused_vi(
     sample_size: int = 256,
     window: int = 50,
     patience: int = 6,
+    probe_rollouts: int = 0,
+    probe_steps: int = 200,
+    probe_dt: float = 0.01,
+    probe_x0=None,
     dtype=jnp.float32,
 ):
     """Build the jitted fused solver. Returns (solve_fn, init_fn, step_fn).
@@ -298,6 +308,15 @@ def make_fused_vi(
         re-selection dominates the single-step residual);
       - ``patience`` consecutive windows without 2% long-residual
         improvement — the plateau at the TT truncation floor.
+
+    ``probe_rollouts > 0`` enables closed-loop probe harvesting: at every
+    window boundary a fixed-seed batch of Euler-Maruyama rollouts under the
+    implicit policy of the CURRENT iterate runs in-graph; the iterate with
+    the best realized discounted cost is snapshotted and returned. For
+    problems whose backup has a heavy TT-rank tail (6D quadcopter: ~5-8%
+    irreducible sup error at practical ranks) the projected VI hovers in a
+    limit cycle — the probe harvests its best visit, measured by the
+    deliverable metric itself.
     """
     d = problem.dx
     R = rmax
@@ -319,6 +338,27 @@ def make_fused_vi(
     noise_r2l = [
         jnp.asarray(rng.standard_normal((n * R, R)), dtype) for n in shape
     ]
+
+    if probe_rollouts > 0:
+        from c3sc_tpu.ops.tt import tt_lerp_eval
+        from c3sc_tpu.sim.integrators import rollout as _rollout
+        from c3sc_tpu.sim.policy import make_implicit_policy
+
+        if probe_x0 is None:
+            prng = np.random.default_rng(4242)
+            lbn, ubn = np.asarray(problem.lb), np.asarray(problem.ub)
+            mid, span = (lbn + ubn) / 2, (ubn - lbn) / 2
+            probe_x0 = mid + 0.5 * span * prng.uniform(-1, 1, (probe_rollouts, d))
+        probe_x0 = jnp.asarray(probe_x0, dtype)
+        probe_key = jax.random.key(31337)
+
+        def _probe_cost(v_tt: TT):
+            pol = make_implicit_policy(
+                problem, grid, lambda p: tt_lerp_eval(v_tt, grid, p), uc
+            )
+            traj = _rollout(problem, grid, pol, probe_x0, probe_key,
+                            probe_dt, probe_steps, policy_every=2)
+            return jnp.mean(traj.cost).astype(dtype)
 
     def _build_idx(k, left_k, right_k1):
         """Evaluation multi-indices [R, n_k, R, d] for core k."""
@@ -372,7 +412,7 @@ def make_fused_vi(
             val = jnp.clip(val, vb[0], vb[1])
         tm, tv = mca.node_terminal(problem, grid, flat_idx, x)
         val = jnp.where(tm, tv.astype(dtype), val)
-        return val.reshape(R, n, R)
+        return val.astype(dtype).reshape(R, n, R)
 
     def body(carry: FusedCarry) -> FusedCarry:
         cores_prev, ranks_prev = carry.cores, carry.ranks
@@ -472,12 +512,32 @@ def make_fused_vi(
         )
         long_res = jnp.where(at_boundary, long_new, carry.long_res)
         sample_ref = jnp.where(at_boundary, new_sample, carry.sample_ref)
+        if probe_rollouts > 0:
+            pc = jax.lax.cond(
+                at_boundary,
+                lambda: _probe_cost(v_new),
+                lambda: jnp.asarray(jnp.inf, dtype),
+            )
+            is_best = pc < carry.best_cost
+            best_cost = jnp.where(is_best, pc, carry.best_cost)
+            cores_best = tuple(
+                jnp.where(is_best, nc, cb)
+                for nc, cb in zip(new_cores, carry.cores_best)
+            )
+            ranks_best = jnp.where(is_best, ranks_new, carry.ranks_best)
+            probe_cost_out = jnp.where(at_boundary, pc, carry.probe_cost)
+        else:
+            best_cost = carry.best_cost
+            cores_best = tuple(new_cores)
+            ranks_best = ranks_new
+            probe_cost_out = carry.probe_cost
         return FusedCarry(
             cores=tuple(new_cores), ranks=ranks_new, left=left, right=right,
             rl=rl, rr=rr, rows_l=rows_l, rows_r=rows_r, key=key,
             it=carry.it + 1, residual=residual,
             long_res=long_res, wstall=wstall, v_sample=new_sample,
-            sample_ref=sample_ref,
+            sample_ref=sample_ref, probe_cost=probe_cost_out,
+            best_cost=best_cost, cores_best=cores_best, ranks_best=ranks_best,
         )
 
     def init_fn(key, v0: TT | None = None) -> FusedCarry:
@@ -508,6 +568,9 @@ def make_fused_vi(
             long_res=jnp.asarray(jnp.inf, dtype),
             wstall=jnp.asarray(0, jnp.int32), v_sample=v_sample,
             sample_ref=v_sample,
+            probe_cost=jnp.asarray(jnp.inf, dtype),
+            best_cost=jnp.asarray(jnp.inf, dtype),
+            cores_best=cores, ranks_best=ranks,
         )
 
     @jax.jit
@@ -536,7 +599,7 @@ class FusedVISolution:
     wall_time: float
     carry: FusedCarry
     controls: np.ndarray
-    bellman_residual: float = float("nan")
+    probe_cost: float = float("inf")
 
 
 def fused_tt_vi(
@@ -553,6 +616,9 @@ def fused_tt_vi(
     sample_size: int = 256,
     window: int = 50,
     patience: int = 6,
+    probe_rollouts: int = 0,
+    probe_steps: int = 200,
+    probe_dt: float = 0.01,
     dtype=jnp.float32,
     v0: TT | None = None,
     carry: FusedCarry | None = None,
@@ -565,7 +631,8 @@ def fused_tt_vi(
     solve_fn, init_fn, _ = make_fused_vi(
         problem, grid, controls, rmax=rmax, kick=kick, eps_rank=eps_rank,
         tol=tol, max_iters=max_iters, sample_size=sample_size,
-        window=window, patience=patience, dtype=dtype,
+        window=window, patience=patience, probe_rollouts=probe_rollouts,
+        probe_steps=probe_steps, probe_dt=probe_dt, dtype=dtype,
     )
     if carry is None:
         carry = init_fn(key, v0)
@@ -579,8 +646,10 @@ def fused_tt_vi(
     out = solve_fn(carry)
     jax.block_until_ready(out.residual)
     wall = time.time() - t0
-    v = TT(out.cores, out.ranks)
+    # cores_best: probe-harvested best iterate when probing, else the last
+    v = TT(out.cores_best, out.ranks_best)
     return FusedVISolution(
         v=v, residual=float(out.residual), iterations=int(out.it),
         wall_time=wall, carry=out, controls=np.asarray(controls),
+        probe_cost=float(out.best_cost),
     )

@@ -84,7 +84,9 @@ def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
         val = jnp.clip(val, problem.value_bounds[0], problem.value_bounds[1])
     # pin terminal evaluation nodes
     tm, tv = mca.node_terminal(problem, grid, idx, x)
-    return jnp.where(tm, tv.astype(dtype), val)
+    # force the requested dtype: under jax_enable_x64 problem callables may
+    # produce f64 constants that would otherwise promote the whole chain
+    return jnp.where(tm, tv.astype(dtype), val).astype(dtype)
 
 
 def make_bellman_kernel(problem: ControlProblem, grid: Grid, controls,
