@@ -2,6 +2,9 @@
 batched Monte-Carlo rollouts, receding-horizon MPC."""
 
 from c3sc_tpu.sim.policy import make_implicit_policy
-from c3sc_tpu.sim.integrators import Trajectory, rollout
+from c3sc_tpu.sim.integrators import (
+    Trajectory, rollout, trajectory_load, trajectory_save,
+)
 
-__all__ = ["make_implicit_policy", "Trajectory", "rollout"]
+__all__ = ["make_implicit_policy", "Trajectory", "rollout",
+           "trajectory_save", "trajectory_load"]

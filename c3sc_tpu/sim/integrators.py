@@ -29,6 +29,29 @@ class Trajectory(NamedTuple):
     exit_time: jnp.ndarray  # [B] absorption time (= T*dt_sim if never)
 
 
+def trajectory_save(path: str, traj: Trajectory) -> None:
+    """Persist a batched rollout record (``trajectory_save`` parity,
+    reference ``simulate.c`` — the linked-list dump becomes one npz)."""
+    import numpy as np
+
+    np.savez_compressed(
+        path, xs=np.asarray(traj.xs), us=np.asarray(traj.us),
+        cost=np.asarray(traj.cost), alive=np.asarray(traj.alive),
+        exit_time=np.asarray(traj.exit_time),
+    )
+
+
+def trajectory_load(path: str) -> Trajectory:
+    import numpy as np
+
+    z = np.load(path)
+    return Trajectory(
+        xs=jnp.asarray(z["xs"]), us=jnp.asarray(z["us"]),
+        cost=jnp.asarray(z["cost"]), alive=jnp.asarray(z["alive"]),
+        exit_time=jnp.asarray(z["exit_time"]),
+    )
+
+
 def _apply_boundaries(problem: ControlProblem, grid: Grid, x):
     """Post-step boundary projection.
 

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from c3sc_tpu.models import lqr_solution, make_lq_problem
-from c3sc_tpu.ops.argmin import pgd_minimize
+from c3sc_tpu.ops.argmin import lbfgs_minimize, pgd_minimize
 from c3sc_tpu.ops.interp import multilinear_interp
 from c3sc_tpu.sim import make_implicit_policy
 from c3sc_tpu.solvers import dense_vi
@@ -26,6 +26,39 @@ def test_pgd_minimize_quadratic():
     np.testing.assert_allclose(np.asarray(u[0]), [0.4, -0.2], atol=2e-2)
     np.testing.assert_allclose(np.asarray(u[1]), [0.9, 0.9], atol=2e-2)
     assert float(u[2, 0]) <= -0.95  # clipped at the box
+
+
+def test_lbfgs_minimize_quadratic_and_box():
+    A = jnp.array([[2.0, 0.3], [0.3, 1.0]])
+    t = jnp.array([[0.4, -0.2], [0.9, 0.9], [-2.0, 0.0]])
+
+    def f(u):
+        d = u - t
+        return jnp.einsum("bi,ij,bj->b", d, A, d)
+
+    u0 = jnp.zeros((3, 2))
+    u, fu = jax.jit(
+        lambda u0: lbfgs_minimize(f, u0, lb=(-1.0, -1.0), ub=(1.0, 1.0),
+                                  n_iters=25)
+    )(u0)
+    np.testing.assert_allclose(np.asarray(u[0]), [0.4, -0.2], atol=2e-2)
+    np.testing.assert_allclose(np.asarray(u[1]), [0.9, 0.9], atol=2e-2)
+    assert float(u[2, 0]) <= -0.95
+
+
+def test_lbfgs_beats_pgd_on_ill_conditioned():
+    # diag(100, 1) quadratic: curvature information should pay off
+    t = jnp.array([[0.35, -0.55]])
+
+    def f(u):
+        d = u - t
+        return 100.0 * d[:, 0] ** 2 + d[:, 1] ** 2
+
+    u0 = jnp.full((1, 2), 0.9)
+    _, f_pgd = pgd_minimize(f, u0, lb=(-1, -1), ub=(1, 1), n_iters=12)
+    _, f_lb = lbfgs_minimize(f, u0, lb=(-1, -1), ub=(1, 1), n_iters=12)
+    assert float(f_lb[0]) <= float(f_pgd[0]) + 1e-6
+    assert float(f_lb[0]) < 1e-3
 
 
 def test_refined_policy_beats_coarse_grid_on_lq():

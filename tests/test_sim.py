@@ -60,3 +60,20 @@ def test_rollout_shapes_and_absorption():
         t_dead = np.argmax(~alive[:, b])
         xs = np.asarray(traj.xs)
         assert np.allclose(xs[t_dead + 1 :, b], xs[t_dead, b])
+
+
+def test_trajectory_save_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+    from c3sc_tpu.sim import Trajectory, trajectory_load, trajectory_save
+
+    traj = Trajectory(
+        xs=jnp.ones((3, 2, 2)), us=jnp.zeros((2, 2, 1)),
+        cost=jnp.asarray([1.0, 2.0]), alive=jnp.ones((3, 2), bool),
+        exit_time=jnp.asarray([0.5, 0.7]),
+    )
+    p = str(tmp_path / "traj.npz")
+    trajectory_save(p, traj)
+    back = trajectory_load(p)
+    for a, b in zip(traj, back):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
