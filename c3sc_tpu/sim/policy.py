@@ -25,15 +25,18 @@ def make_implicit_policy(
     value_fn: Callable,
     controls,
     refine_steps: int = 0,
+    refine_method: str = "pgd",
 ):
     """Build policy(x [..., d]) -> u [..., du].
 
     value_fn: batched points [..., d] -> values [...] (dense-interp or TT).
     controls: [C, du] candidate set.
     refine_steps > 0 polishes the brute-force winner with that many batched
-    projected-gradient steps (continuous-control accuracy beyond the
-    candidate grid spacing — the reference's c3opt BFGS mode, SURVEY.md
-    §2.2, as a fixed-iteration batched optimizer).
+    optimizer steps (continuous-control accuracy beyond the candidate grid
+    spacing — the reference's c3opt continuous modes, SURVEY.md §2.2, as
+    fixed-iteration batched optimizers). refine_method: 'pgd' (projected
+    gradient, parallel line search) or 'lbfgs' (box L-BFGS — the c3opt BFGS
+    analogue; better on ill-conditioned control landscapes).
     """
     uc = jnp.asarray(controls)
     d = problem.dx
@@ -61,10 +64,11 @@ def make_implicit_policy(
         best = jnp.argmin(rhs, axis=-1)
         u = uc[best]  # [B, du]
         if refine_steps > 0:
-            from c3sc_tpu.ops.argmin import pgd_minimize
+            from c3sc_tpu.ops.argmin import lbfgs_minimize, pgd_minimize
 
+            minimize = lbfgs_minimize if refine_method == "lbfgs" else pgd_minimize
             f = lambda ub: jax.vmap(rhs_one)(xf, vnb, ub)
-            u, _ = pgd_minimize(
+            u, _ = minimize(
                 f, u, jnp.asarray(problem.ulb, u.dtype),
                 jnp.asarray(problem.uub, u.dtype), n_iters=refine_steps,
             )

@@ -157,12 +157,15 @@ def tt_vi(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 50,
     resume_from: str | None = None,
+    cross_method: str = "cross",
 ) -> TTVISolution:
     """Solve the MCA Bellman fixed point with a TT-compressed value function.
 
     The reference's ``c3control_vi_solve`` equivalent (SURVEY.md §3.1).
     Pass ``checkpoint_path`` to save full solver state every
     ``checkpoint_every`` iterations; ``resume_from`` restarts a saved run.
+    ``cross_method``: 'cross' (single-site, kick-rank) or 'dmrg' (two-site
+    SVD rank revelation — C3's dmrg path).
     """
     if key is None:
         key = jax.random.key(0)
@@ -198,12 +201,21 @@ def tt_vi(
     for it in range(start_iter, max_iters):
         key, sk = jax.random.split(key)
         f = partial(bellman, v)
-        res = tt_cross(
-            f, grid.shape, rmax=rmax, key=sk, state=state,
-            r0=r0, kick=kick, tol=cross_tol, eps_rank=eps_rank,
-            max_sweeps=cross_sweeps_first if state is None else cross_sweeps,
-            sample_idx=sample_idx, dtype=dtype,
-        )
+        n_sw = cross_sweeps_first if state is None else cross_sweeps
+        if cross_method == "dmrg":
+            from c3sc_tpu.solvers.dmrg import dmrg_cross
+
+            res = dmrg_cross(
+                f, grid.shape, rmax=rmax, key=sk, state=state, r0=r0,
+                tol=cross_tol, eps_rank=eps_rank, max_sweeps=n_sw,
+                sample_idx=sample_idx, dtype=dtype,
+            )
+        else:
+            res = tt_cross(
+                f, grid.shape, rmax=rmax, key=sk, state=state,
+                r0=r0, kick=kick, tol=cross_tol, eps_rank=eps_rank,
+                max_sweeps=n_sw, sample_idx=sample_idx, dtype=dtype,
+            )
         v_new, state = res.tt, res.state
         if round_tol is not None:
             v_new = tt_round(v_new, round_tol, rmax)

@@ -43,3 +43,21 @@ def test_ttvi_matches_dense(make, kwargs, n, nc, rmax):
     assert err < 0.02, f"TT vs dense sup error {err:.3f} (ranks={sol.ranks[-1]})"
     # compression: max rank well below full
     assert max(sol.ranks[-1]) <= rmax
+
+
+def test_ttvi_dmrg_backend_matches_dense():
+    prob = make_lq_problem(sigma=1.0, beta=1.0)
+    grid = prob.default_grid(31)
+    controls = prob.control_candidates(15)
+    dense = dense_vi(prob, grid, controls=controls, tol=1e-5, max_outer=400,
+                     chunk=100)
+    sol = tt_vi(
+        prob, grid, controls=controls, rmax=10, key=jax.random.key(0),
+        tol=2e-4, max_iters=800, cross_sweeps=1, chunk=2048,
+        cross_method="dmrg",
+    )
+    idx = all_nodes(grid)
+    v_tt = np.asarray(tt_gather_eval(sol.v, jnp.asarray(idx, jnp.int32)))
+    v_dense = np.asarray(dense.v).ravel()
+    err = np.abs(v_tt - v_dense).max() / np.abs(v_dense).max()
+    assert err < 0.02, f"DMRG TT vs dense sup error {err:.3f}"
