@@ -99,6 +99,19 @@ class ControlProblem:
     # stabilizer for rank-limited TT approximation (outliers cannot feed
     # back through the Bellman operator).
     value_bounds: tuple | None = None
+    # ---- optional structure declarations (performance fast paths) ----
+    # Control-affine drift: f(x, u) = drift_f0(x) + drift_G(x) @ u. When
+    # both are set, the Bellman kernels evaluate the drift for ALL control
+    # candidates with ONE [B, dx, du] x [C, du] contraction (MXU) instead of
+    # re-running the full dynamics per candidate. Must satisfy
+    # drift(x, u) == drift_f0(x) + drift_G(x) @ u exactly (tested).
+    drift_f0: Optional[Callable[[Array], Array]] = None   # x -> [dx]
+    drift_G: Optional[Callable[[Array], Array]] = None    # x -> [dx, du]
+    # Control-independent diffusion: sigma2_x(x) == diag(L L^T)(x, ·).
+    sigma2_x: Optional[Callable[[Array], Array]] = None   # x -> [dx]
+    # Separable stage cost: g(x, u) = cost_q(x) + cost_r(u).
+    cost_q: Optional[Callable[[Array], Array]] = None     # x -> scalar
+    cost_r: Optional[Callable[[Array], Array]] = None     # u -> scalar
 
     def sigma2_diag(self, x: Array, u: Array) -> Array:
         """diag(L L^T)(x, u) — the per-dim diffusion variances the MCA

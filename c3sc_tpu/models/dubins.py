@@ -63,6 +63,13 @@ def make_dubins_problem(
         ulb=(-u_max,), uub=(u_max,),
         drift=drift, diff=diff,
         stage_cost=stage_cost, boundary_cost=boundary_cost,
+        drift_f0=lambda x: jnp.stack(
+            [speed * jnp.cos(x[2]), speed * jnp.sin(x[2]), jnp.zeros(())]),
+        drift_G=lambda x: jnp.array([[0.0], [0.0], [1.0]]),
+        sigma2_x=lambda x: jnp.array(
+            [sigma_xy**2, sigma_xy**2, sigma_th**2]),
+        cost_q=lambda x: jnp.asarray(1.0),
+        cost_r=lambda u: w_u * u[0] ** 2,
         beta=beta, obstacles=tuple(obstacles), name="dubins",
         value_bounds=(
             0.0,

@@ -79,6 +79,11 @@ def make_glider_problem(
         ulb=(-alpha_max,), uub=(alpha_max,),
         drift=drift, diff=diff,
         stage_cost=stage_cost, boundary_cost=boundary_cost,
+        # drift is NONLINEAR in u (angle of attack) — no affine fast path;
+        # diffusion and cost structure still declared
+        sigma2_x=lambda x: jnp.array([0.0, 0.0, sigma_v**2, sigma_g**2]),
+        cost_q=lambda x: jnp.asarray(0.1),
+        cost_r=lambda u: 0.1 * u[0] ** 2,
         beta=beta, name="glider",
         value_bounds=(
             0.0,

@@ -57,6 +57,11 @@ def make_lq_problem(
         ulb=(-umax,), uub=(umax,),
         drift=drift, diff=diff,
         stage_cost=stage_cost, boundary_cost=boundary_cost,
+        drift_f0=lambda x: jnp.stack([x[1], jnp.zeros(())]),
+        drift_G=lambda x: jnp.array([[0.0], [1.0]]),
+        sigma2_x=lambda x: jnp.array([0.0, sigma**2]),
+        cost_q=lambda x: x @ (jnp.asarray(Q) @ x),
+        cost_r=lambda u: u @ (jnp.asarray(R) @ u),
         beta=beta, name="lq",
     )
 

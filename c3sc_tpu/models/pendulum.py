@@ -50,6 +50,23 @@ def make_pendulum_problem(
         # reflecting omega boundary: psi only used if regime changed to absorb
         return jnp.asarray(0.0)
 
+    # fast-path structure: control-affine drift, u-independent diffusion,
+    # separable cost (SURVEY.md §7: batch everything)
+    def drift_f0(x):
+        return jnp.stack([x[1], (g / length) * jnp.sin(x[0]) - damping * x[1]])
+
+    def drift_G(x):
+        return jnp.array([[0.0], [1.0 / ml2]])
+
+    def sigma2_x(x):
+        return jnp.array([0.0, sigma**2])
+
+    def cost_q(x):
+        return w_th * 2.0 * (1.0 - jnp.cos(x[0])) + w_om * x[1] ** 2
+
+    def cost_r(u):
+        return w_u * u[0] ** 2
+
     g_sup = w_th * 4.0 + w_om * omega_max**2 + w_u * u_max**2
     return ControlProblem(
         dx=2, du=1, dw=1,
@@ -58,6 +75,8 @@ def make_pendulum_problem(
         ulb=(-u_max,), uub=(u_max,),
         drift=drift, diff=diff,
         stage_cost=stage_cost, boundary_cost=boundary_cost,
+        drift_f0=drift_f0, drift_G=drift_G, sigma2_x=sigma2_x,
+        cost_q=cost_q, cost_r=cost_r,
         beta=beta, name="pendulum",
         value_bounds=(0.0, g_sup / max(beta, 1e-6)),
     )

@@ -79,6 +79,31 @@ def make_quadcopter_problem(
     def boundary_cost(x):
         return jnp.asarray(exit_cost)
 
+    # control-affine structure: f(x, u) = f0(x) + G(x) u  (fast-path fields)
+    def drift_f0(x):
+        return jnp.stack([x[3], x[4], x[5], jnp.zeros(()), -jnp.full((), gconst),
+                          jnp.zeros(())])
+
+    def drift_G(x):
+        s, c = jnp.sin(x[2]) / mass, jnp.cos(x[2]) / mass
+        k = arm / inertia
+        z = jnp.zeros(())
+        return jnp.stack([
+            jnp.stack([z, z]), jnp.stack([z, z]), jnp.stack([z, z]),
+            jnp.stack([-s, -s]), jnp.stack([c, c]),
+            jnp.stack([jnp.full((), k), jnp.full((), -k)]),
+        ])
+
+    def sigma2_x(x):
+        return jnp.array([0.0, 0.0, 0.0, sigma_v**2, sigma_v**2, sigma_om**2])
+
+    def cost_q(x):
+        return (w_pos * (x[0] ** 2 + x[1] ** 2) + w_th * x[2] ** 2
+                + w_vel * (x[3] ** 2 + x[4] ** 2) + w_om * x[5] ** 2)
+
+    def cost_r(u):
+        return w_u * ((u[0] - hover) ** 2 + (u[1] - hover) ** 2)
+
     return ControlProblem(
         dx=6, du=2, dw=3,
         lb=(-pos_max, -pos_max, -th_max, -vel_max, -vel_max, -om_max),
@@ -90,6 +115,8 @@ def make_quadcopter_problem(
         ulb=(0.0, 0.0), uub=(u_max, u_max),
         drift=drift, diff=diff,
         stage_cost=stage_cost, boundary_cost=boundary_cost,
+        drift_f0=drift_f0, drift_G=drift_G, sigma2_x=sigma2_x,
+        cost_q=cost_q, cost_r=cost_r,
         beta=beta, name="quadcopter",
         value_bounds=(0.0, max(exit_cost, _g_sup(
             w_pos, w_th, w_vel, w_om, w_u, pos_max, th_max, vel_max, om_max,

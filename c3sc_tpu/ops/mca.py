@@ -56,6 +56,64 @@ def transition_batch(problem: ControlProblem, grid: Grid, x, u):
     return fn(x, u)
 
 
+def _stencil_from_fs2(f, s2, h):
+    """Elementwise Kushner–Dupuis stencil given drift f [..., d] and
+    variance s2 (broadcastable to f). Returns (p_plus, p_minus, dt)."""
+    diffpart = 0.5 * s2 / h**2
+    qj = 2.0 * diffpart + jnp.abs(f) / h
+    q = jnp.sum(qj, axis=-1, keepdims=True) + _EPS
+    p_plus = (diffpart + jnp.maximum(f, 0.0) / h) / q
+    p_minus = (diffpart + jnp.maximum(-f, 0.0) / h) / q
+    return p_plus, p_minus, 1.0 / q[..., 0]
+
+
+def transition_all_controls(problem: ControlProblem, grid: Grid, x, uc):
+    """Stencil for ALL control candidates at once: x [B, d], uc [C, du] ->
+    (p_plus [C, B, d], p_minus [C, B, d], dt [C, B]).
+
+    The hot-loop form of the reference's per-(node, control) scalar
+    ``transition_assemble`` (SURVEY.md §3.1). When the problem declares
+    control-affine drift (``drift_f0``/``drift_G``), the drift for every
+    candidate comes from ONE batched [B, d, du] x [C, du] contraction that
+    XLA maps onto the MXU, and control-independent diffusion (``sigma2_x``)
+    is computed once instead of C times. Falls back to a vmap over
+    candidates for fully nonlinear problems (e.g. the glider's angle-of-
+    attack controls).
+    """
+    B = x.shape[0]
+    C = uc.shape[0]
+    if problem.drift_f0 is not None and problem.drift_G is not None:
+        f0 = jax.vmap(problem.drift_f0)(x)                   # [B, d]
+        G = jax.vmap(problem.drift_G)(x)                     # [B, d, du]
+        f = f0[None] + jnp.einsum("bdm,cm->cbd", G, uc)      # [C, B, d]
+    else:
+        f = jax.vmap(
+            lambda u: jax.vmap(lambda xx: problem.drift(xx, u))(x)
+        )(uc)                                                # [C, B, d]
+    if problem.sigma2_x is not None:
+        s2 = jax.vmap(problem.sigma2_x)(x)[None]             # [1, B, d]
+    else:
+        s2 = jax.vmap(
+            lambda u: jax.vmap(lambda xx: problem.sigma2_diag(xx, u))(x)
+        )(uc)                                                # [C, B, d]
+    h = jnp.asarray(grid.h, dtype=f.dtype)
+    return _stencil_from_fs2(f, s2, h)
+
+
+def stage_cost_all(problem: ControlProblem, x, uc):
+    """g(x, u) for all candidates: x [B, d], uc [C, du] -> [C, B].
+
+    Separable costs (``cost_q``/``cost_r``) evaluate the state part once and
+    the control part once (outer sum); otherwise vmap over both."""
+    if problem.cost_q is not None and problem.cost_r is not None:
+        q = jax.vmap(problem.cost_q)(x)                      # [B]
+        r = jax.vmap(problem.cost_r)(uc)                     # [C]
+        return r[:, None] + q[None, :]
+    return jax.vmap(
+        lambda u: jax.vmap(lambda xx: problem.stage_cost(xx, u))(x)
+    )(uc)
+
+
 def node_terminal(problem: ControlProblem, grid: Grid, idx, x):
     """Classify grid nodes as terminal (absorbing) and give their pinned value.
 

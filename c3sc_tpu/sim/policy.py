@@ -58,9 +58,11 @@ def make_implicit_policy(
         nb = jnp.stack([xf[:, None, :] + h[:, None] * eye,
                         xf[:, None, :] - h[:, None] * eye], axis=1)
         vnb = value_fn(nb.reshape(-1, d)).reshape(-1, 2, d)  # [B, 2, d]
-        rhs = jax.vmap(  # over batch
-            lambda xx, vv: jax.vmap(lambda u: rhs_one(xx, vv, u))(uc)
-        )(xf, vnb)  # [B, C]
+        # all-candidates stencil (affine fast path when declared)
+        pp, pm, dt = mca.transition_all_controls(problem, grid, xf, uc)
+        g = mca.stage_cost_all(problem, xf, uc)              # [C, B]
+        expect = jnp.sum(pp * vnb[None, :, 0] + pm * vnb[None, :, 1], axis=-1)
+        rhs = (g * dt + jnp.exp(-problem.beta * dt) * expect).T  # [B, C]
         best = jnp.argmin(rhs, axis=-1)
         u = uc[best]  # [B, du]
         if refine_steps > 0:

@@ -67,24 +67,60 @@ class FusedCarry(NamedTuple):
     ranks_best: jnp.ndarray # [d+1]
 
 
-def _orth_basis_and_rank(C, noise, eps_rank, kick, rmax_active, row_mask):
-    """One QR of the fiber matrix serves both rank estimation and the
-    (kick-enriched) orthonormal basis.
+def _cholqr2(C):
+    """CholeskyQR2: q with colspace(q) = colspace(C), orthonormal columns,
+    plus the singular values of C.
 
-    - singular values come from the small [R, R] triangular factor
-      (svd(C) == svd(R_qr) exactly) — avoids a second tall decomposition;
-    - kick columns are Gram-Schmidt-orthogonalized against q instead of a
+    The tall Householder QR is latency-bound on TPU (R sequential
+    reflections over the [m, R] matrix); CholeskyQR2 replaces it with two
+    MXU-friendly Gram matmuls + two tiny [R, R] Cholesky factorizations.
+    The second pass squares away the cond(C)·eps orthogonality loss of
+    single-pass CholeskyQR; a scaled ridge keeps rank-deficient blocks
+    finite (their null columns carry no pivot weight downstream). Singular
+    values come from eigvalsh of the first Gram (s = sqrt(eig)) — exact up
+    to the same squaring, and the rank threshold compares RELATIVE
+    magnitudes, which squaring preserves monotonically.
+    """
+    m, R = C.shape
+    G = C.T @ C                                   # [R, R] (MXU)
+    # f32 Cholesky needs a ridge comfortably above eps*||G|| or rank-
+    # deficient fiber blocks produce NaN factors that poison the while_loop
+    ridge = 1e-6 * jnp.maximum(jnp.trace(G) / R, 1e-30)
+    ev = jnp.linalg.eigvalsh(G)                   # ascending
+    s = jnp.sqrt(jnp.maximum(ev[::-1], 0.0))      # singular values of C
+    L1 = jnp.linalg.cholesky(G + ridge * jnp.eye(R, dtype=C.dtype))
+    q1 = jax.scipy.linalg.solve_triangular(L1, C.T, lower=True).T
+    G2 = q1.T @ q1
+    ridge2 = 1e-6 * jnp.maximum(jnp.trace(G2) / R, 1e-30)
+    L2 = jnp.linalg.cholesky(G2 + ridge2 * jnp.eye(R, dtype=C.dtype))
+    q = jax.scipy.linalg.solve_triangular(L2, q1.T, lower=True).T
+    return q, s
+
+
+def _orth_basis_and_rank(C, noise, eps_rank, kick, rmax_active, row_mask,
+                         r_prev):
+    """One (Cholesky-)QR of the fiber matrix serves both rank estimation and
+    the (kick-enriched) orthonormal basis, with MONOTONE rank selection.
+
+    - singular values come from the Gram eigenvalues inside ``_cholqr2``;
+    - rank rule (see ``_hysteresis_rank``): grow by the kick width when the
+      estimate saturates the current active size, never shrink;
+    - the basis keeps REAL directions for all but the last ``kick`` active
+      columns; random exploration noise is bounded at ``kick`` columns no
+      matter how large the active rank grows (replacing every sub-threshold
+      direction with noise would make the interpolation floor scale with
+      rank), and it is Gram-Schmidt-orthogonalized against q instead of a
       second tall QR (colspace accuracy is all pivoting/interp need).
     Returns (qe [m, R], r_need, r_new).
     """
     m, R = C.shape
     col = jnp.arange(R)
-    q, rfac = jnp.linalg.qr(C)                   # [m, R], [R, R]
-    s = jnp.linalg.svd(rfac, compute_uv=False)   # == singular values of C
+    q, s = _cholqr2(C)                           # [m, R], [R]
     smax = jnp.maximum(s[0], 1e-30)
     r_need = jnp.maximum(jnp.sum(s > eps_rank * smax).astype(jnp.int32), 1)
-    r_new = jnp.clip(r_need + kick, 1, rmax_active)
-    r_keep = jnp.minimum(r_need, r_new)
+    r_adapt = jnp.clip(r_need + kick, 1, rmax_active)
+    r_new = _hysteresis_rank(r_need, r_adapt, r_prev)
+    r_keep = jnp.clip(r_new - kick, 1, r_new)
     keepmask = (col < r_keep).astype(C.dtype)
     kickmask = ((col >= r_keep) & (col < r_new)).astype(C.dtype)
     z = noise * row_mask[:, None]
@@ -112,8 +148,14 @@ def _interp_from_rows(qe, rows, r_new):
     return jnp.linalg.solve(sub.T, qe.T).T
 
 
-def _pivot_rows(qe, r_new, n_swaps: int = 4):
+def _pivot_rows(qe, r_new, n_swaps: int = 6):
     """Maxvol pivot rows: partial-pivoted LU seed + greedy swap refinement.
+
+    The LU seed runs on a top-8R row subset (by row norm) instead of the
+    full [m, R] matrix — the tall LU's m-row elimination is latency-bound on
+    TPU, and large-norm rows are where volume-maximizing pivots live; the
+    greedy swaps below still scan ALL m rows, so a pivot outside the subset
+    can always enter.
 
     Each refinement: build G = qe inv(qe[rows]); if max |G_ij| > 1 + tol,
     row j of the pivot set is replaced by the offending row i — this is the
@@ -121,9 +163,12 @@ def _pivot_rows(qe, r_new, n_swaps: int = 4):
     (without it, occasional bad LU pivots give |G| >> 1 and the assembled
     TT oscillates wildly between pivots).
     """
-    R = qe.shape[1]
-    _, _, perm = jax.lax.linalg.lu(qe)
-    rows = perm[:R].astype(jnp.int32)
+    m, R = qe.shape
+    K = min(m, 8 * R)
+    norms = jnp.sum(qe * qe, axis=1)
+    _, cand = jax.lax.top_k(norms, K)            # [K] row ids
+    _, _, perm = jax.lax.linalg.lu(qe[cand])     # LU on the [K, R] subset
+    rows = cand[perm[:R]].astype(jnp.int32)
 
     def step(rows, _):
         G = _interp_from_rows(qe, rows, r_new)
@@ -146,14 +191,25 @@ def _logvol(qe, rows, r_new):
     return logdet
 
 
-def _hysteresis_rank(r_need, r_adapt, r_prev, kick, it, warmup: int = 60):
-    """Rank selection with hysteresis: keep the previous rank unless the
-    estimated need genuinely grew past it, or dropped well below it (the
-    f32 singular-value tail makes the raw count jitter by +-1-2 every
-    sweep, and every rank change forces a pivot reset)."""
-    grow = r_need > r_prev
-    shrink = r_need + kick < r_prev - 1
-    return jnp.where((it < warmup) | grow | shrink, r_adapt, r_prev)
+def _hysteresis_rank(r_need, r_adapt, r_prev):
+    """MONOTONE rank selection (never shrink, grow on saturation).
+
+    Shrinking is never worth it under padded static shapes — the compute
+    cost is identical at any active rank <= R, while a rank drop resets the
+    pivot set and kick columns, which can tip an almost-converged solve
+    into a permanent limit cycle (observed on LQ: residual 2e-3 and
+    falling, then a 10 -> 9 shrink destabilized it to a 0.4-residual
+    cycle). The f32 singular-value tail also jitters the raw need-count by
+    +-1-2 per sweep, so shrink decisions were noise-driven to begin with.
+
+    Growth trigger: ``r_need`` is counted from the singular values of the
+    ACTIVE fiber block, so it can never exceed the current active rank —
+    growth must come through the kick columns. The classic kick-rank rule:
+    when the estimate SATURATES the active size (r_need >= r_prev), enlarge
+    by the kick; once the estimate stabilizes below the active size (true
+    rank found, kick-width headroom on top), the rank freezes for good."""
+    saturated = r_need >= r_prev
+    return jnp.where(saturated, jnp.maximum(r_adapt, r_prev), r_prev)
 
 
 def _hysteresis_rows(qe, rows_prev, r_new, r_prev, it, warmup: int = 60,
@@ -260,20 +316,24 @@ def make_structured_fiber_eval(grid: Grid, k: int, rmax: int, dtype=jnp.float32)
         s0, Sp, Sm = jax.vmap(right_row)(right_k1)  # [R,R], [R,d-k-1,R] x2
 
         G = cores[k]
-        mix = lambda a, g, b: jnp.einsum("ar,rns,bs->anb", a, g, b)
-        vp, vm = [], []
-        for m in range(d):
-            if m < k:
-                vp.append(mix(Pp[:, m], G, s0))
-                vm.append(mix(Pm[:, m], G, s0))
-            elif m == k:
-                vp.append(mix(p0, G[:, plus_map, :], s0))
-                vm.append(mix(p0, G[:, minus_map, :], s0))
-            else:
-                mi = m - k - 1
-                vp.append(mix(p0, G, Sp[:, mi]))
-                vm.append(mix(p0, G, Sm[:, mi]))
-        return jnp.stack(vp), jnp.stack(vm)  # [d, R, n, R] each
+        # ONE batched einsum per neighbor group (left dims / dim k / right
+        # dims) instead of 4d separate [R,R]x[R,n,R]x[R,R] mixes — the
+        # per-op dispatch overhead of ~4d tiny contractions dominated this
+        # evaluator's runtime inside the fused loop.
+        Gs0 = jnp.einsum("rns,bs->rnb", G, s0)       # shared right product
+        parts_p, parts_m = [], []
+        if k > 0:
+            parts_p.append(jnp.einsum("amr,rnb->manb", Pp, Gs0))
+            parts_m.append(jnp.einsum("amr,rnb->manb", Pm, Gs0))
+        parts_p.append(jnp.einsum("ar,rnb->anb", p0, Gs0[:, plus_map])[None])
+        parts_m.append(jnp.einsum("ar,rnb->anb", p0, Gs0[:, minus_map])[None])
+        if k < d - 1:
+            p0G = jnp.einsum("ar,rns->ans", p0, G)   # shared left product
+            parts_p.append(jnp.einsum("ans,bms->manb", p0G, Sp))
+            parts_m.append(jnp.einsum("ans,bms->manb", p0G, Sm))
+        vp = jnp.concatenate(parts_p, axis=0)
+        vm = jnp.concatenate(parts_m, axis=0)
+        return vp, vm  # [d, R, n, R] each
 
     return fn
 
@@ -295,8 +355,19 @@ def make_fused_vi(
     probe_dt: float = 0.01,
     probe_x0=None,
     dtype=jnp.float32,
+    mesh=None,
 ):
     """Build the jitted fused solver. Returns (solve_fn, init_fn, step_fn).
+
+    ``mesh``: optional ``jax.sharding.Mesh``. When given, the Bellman fiber
+    block — the solve's dominant compute — carries GSPMD sharding
+    constraints: evaluation nodes shard over the mesh axis ``'fibers'``
+    (data parallel) and, if the mesh has a ``'ctrl'`` axis, the per-
+    candidate RHS shards over it too; XLA partitions the stencil math and
+    inserts the ICI collectives (the min-reduction over candidates and the
+    gather feeding the tiny per-core decompositions) automatically
+    (SURVEY.md §2.3 / §7 item 9). TT cores and index sets stay replicated —
+    they are KB-scale.
 
     init_fn(key, v0=None) -> FusedCarry;  solve_fn(carry) -> FusedCarry
     (runs while_loop to convergence). Both jittable; solve_fn is jitted.
@@ -386,27 +457,45 @@ def make_fused_vi(
         vn = jnp.stack([vp, vm], axis=0).reshape(2, d, B).transpose(2, 0, 1)
         if vb is not None:
             vn = jnp.clip(vn, vb[0], vb[1])
-        # pin neighbor values at terminal neighbor nodes
-        for si, sign in enumerate((1, -1)):
-            for m in range(d):
-                nb = flat_idx.at[:, m].set(
-                    _shift_coord(flat_idx[:, m], m, sign, grid)
-                )
-                nxs = grid.index_to_state(nb).astype(dtype)
-                tmn, tvn = mca.node_terminal(problem, grid, nb, nxs)
-                vn = vn.at[:, si, m].set(
-                    jnp.where(tmn, tvn.astype(dtype), vn[:, si, m])
-                )
+        # pin neighbor values at terminal neighbor nodes — ALL 2d neighbor
+        # sets classified in one batched node_terminal call (the former
+        # per-(sign, dim) loop was ~2d x 10 scatter/gather ops per core-step)
+        shifted = jnp.stack(
+            [jnp.stack([_shift_coord(flat_idx[:, m], m, sg, grid)
+                        for m in range(d)], axis=-1)
+             for sg in (1, -1)], axis=0)              # [2, B, d]
+        eye_d = jnp.eye(d, dtype=bool)
+        nb_all = jnp.where(eye_d[None, :, None, :],
+                           shifted[:, None, :, :],
+                           flat_idx[None, None, :, :])  # [2, d, B, d]
+        nb_flat2 = nb_all.reshape(-1, d)
+        nxs = grid.index_to_state(nb_flat2).astype(dtype)
+        tmn, tvn = mca.node_terminal(problem, grid, nb_flat2, nxs)
+        tmn = tmn.reshape(2, d, B).transpose(2, 0, 1)   # [B, 2, d]
+        tvn = tvn.reshape(2, d, B).transpose(2, 0, 1).astype(dtype)
+        vn = jnp.where(tmn, tvn, vn)
 
-        def rhs_for_control(u):
-            pp, pm, dtt = mca.transition_batch(
-                problem, grid, x, jnp.broadcast_to(u, (B,) + u.shape)
-            )
-            g = jax.vmap(lambda xx: problem.stage_cost(xx, u))(x)
-            expect = jnp.sum(pp * vn[:, 0] + pm * vn[:, 1], axis=-1)
-            return g * dtt + jnp.exp(-problem.beta * dtt) * expect
+        if mesh is not None:
+            # GSPMD hints: nodes shard over 'fibers' (DP); XLA partitions
+            # the stencil math below and inserts ICI collectives
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        rhs = jax.vmap(rhs_for_control)(uc)                # [C, B]
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("fibers", None)))
+            vn = jax.lax.with_sharding_constraint(
+                vn, NamedSharding(mesh, P("fibers", None, None)))
+
+        # all-candidates stencil + cost: one drift contraction for all C
+        # when the problem declares control-affine structure (MXU-batched)
+        pp, pm, dtt = mca.transition_all_controls(problem, grid, x, uc)
+        g = mca.stage_cost_all(problem, x, uc)             # [C, B]
+        if mesh is not None and "ctrl" in mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            g = jax.lax.with_sharding_constraint(
+                g, NamedSharding(mesh, P("ctrl", "fibers")))
+        expect = jnp.sum(pp * vn[None, :, 0] + pm * vn[None, :, 1], axis=-1)
+        rhs = g * dtt + jnp.exp(-problem.beta * dtt) * expect
         val = jnp.min(rhs, axis=0)
         if vb is not None:
             val = jnp.clip(val, vb[0], vb[1])
@@ -429,11 +518,10 @@ def make_fused_vi(
             row_mask = jnp.repeat((jnp.arange(R) < rl[k]), n).astype(dtype)
             col_mask = (jnp.arange(R) < rr[k + 1]).astype(dtype)
             C = vals.reshape(R * n, R) * row_mask[:, None] * col_mask[None, :]
-            qe, r_need, r_adapt = _orth_basis_and_rank(
+            qe, r_need, r_new = _orth_basis_and_rank(
                 C, noise_l2r[k], eps_rank, kick,
-                jnp.minimum(R, rl[k] * n), row_mask,
+                jnp.minimum(R, rl[k] * n), row_mask, rl[k + 1],
             )
-            r_new = _hysteresis_rank(r_need, r_adapt, rl[k + 1], kick, carry.it)
             rows = _hysteresis_rows(qe, rows_l[k], r_new, rl[k + 1], carry.it)
             rows_l = rows_l.at[k].set(rows)
             G = _interp_from_rows(qe, rows, r_new)
@@ -469,11 +557,10 @@ def make_fused_vi(
             row_mask = jnp.tile((jnp.arange(R) < rr[k + 1]), n).astype(dtype)
             col_mask = (jnp.arange(R) < rl[k]).astype(dtype)
             M = M * row_mask[:, None] * col_mask[None, :]
-            qe, r_need, r_adapt = _orth_basis_and_rank(
+            qe, r_need, r_new = _orth_basis_and_rank(
                 M, noise_r2l[k], eps_rank, kick,
-                jnp.minimum(R, rr[k + 1] * n), row_mask,
+                jnp.minimum(R, rr[k + 1] * n), row_mask, rr[k],
             )
-            r_new = _hysteresis_rank(r_need, r_adapt, rr[k], kick, carry.it)
             rows = _hysteresis_rows(qe, rows_r[k], r_new, rr[k], carry.it)
             rows_r = rows_r.at[k].set(rows)
             G = _interp_from_rows(qe, rows, r_new)
@@ -622,8 +709,12 @@ def fused_tt_vi(
     dtype=jnp.float32,
     v0: TT | None = None,
     carry: FusedCarry | None = None,
+    mesh=None,
 ) -> FusedVISolution:
-    """One-call fused VI solve (single XLA program, zero host round-trips)."""
+    """One-call fused VI solve (single XLA program, zero host round-trips).
+
+    ``mesh``: optional device mesh — shards the Bellman fiber block over
+    the 'fibers' (and optional 'ctrl') axes; see ``make_fused_vi``."""
     if key is None:
         key = jax.random.key(0)
     if controls is None:
@@ -632,7 +723,7 @@ def fused_tt_vi(
         problem, grid, controls, rmax=rmax, kick=kick, eps_rank=eps_rank,
         tol=tol, max_iters=max_iters, sample_size=sample_size,
         window=window, patience=patience, probe_rollouts=probe_rollouts,
-        probe_steps=probe_steps, probe_dt=probe_dt, dtype=dtype,
+        probe_steps=probe_steps, probe_dt=probe_dt, dtype=dtype, mesh=mesh,
     )
     if carry is None:
         carry = init_fn(key, v0)

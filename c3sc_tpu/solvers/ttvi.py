@@ -70,15 +70,12 @@ def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
     vn = jnp.where(t_mask, t_val.astype(dtype), vn)
     vn = vn.reshape(-1, 2, d)                   # [B, 2, d]
 
-    def rhs_for_control(u):
-        pp, pm, dt = mca.transition_batch(
-            problem, grid, x, jnp.broadcast_to(u, (x.shape[0],) + u.shape)
-        )
-        g = jax.vmap(lambda xx: problem.stage_cost(xx, u))(x)
-        expect = jnp.sum(pp * vn[:, 0] + pm * vn[:, 1], axis=-1)
-        return g * dt + jnp.exp(-problem.beta * dt) * expect
-
-    rhs = jax.lax.map(rhs_for_control, uc)      # [C, B]
+    # all-candidates stencil + cost (uses the problem's declared affine/
+    # separable structure when present — ONE drift contraction for all C)
+    pp, pm, dt = mca.transition_all_controls(problem, grid, x, uc)   # [C,B,d]
+    g = mca.stage_cost_all(problem, x, uc)                           # [C,B]
+    expect = jnp.sum(pp * vn[None, :, 0] + pm * vn[None, :, 1], axis=-1)
+    rhs = g * dt + jnp.exp(-problem.beta * dt) * expect              # [C,B]
     val = jnp.min(rhs, axis=0)
     if problem.value_bounds is not None:
         val = jnp.clip(val, problem.value_bounds[0], problem.value_bounds[1])

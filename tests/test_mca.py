@@ -77,3 +77,56 @@ def test_node_terminal_classification():
     assert bool(term[0]) and np.isclose(float(val[0]), 50.0)
     assert bool(term[2]) and np.isclose(float(val[2]), 0.0)
     assert not bool(term[3])
+
+
+def test_transition_all_controls_matches_per_candidate():
+    """The fast all-candidates path (affine/separable structure) must agree
+    with the generic per-candidate stencil on every registered model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from c3sc_tpu.models import make_problem
+    from c3sc_tpu.ops import mca
+
+    for name in ("lq", "pendulum", "dubins", "glider", "quadcopter"):
+        prob = make_problem(name)
+        grid = prob.default_grid(9)
+        rng = np.random.default_rng(0)
+        B, C = 64, 7
+        x = jnp.asarray(
+            rng.uniform(prob.lb, prob.ub, size=(B, prob.dx)), jnp.float32)
+        uc = jnp.asarray(
+            rng.uniform(prob.ulb, prob.uub, size=(C, prob.du)), jnp.float32)
+        pp, pm, dt = mca.transition_all_controls(prob, grid, x, uc)
+        g = mca.stage_cost_all(prob, x, uc)
+        for c in range(C):
+            u = jnp.broadcast_to(uc[c], (B, prob.du))
+            pp1, pm1, dt1 = mca.transition_batch(prob, grid, x, u)
+            g1 = jax.vmap(prob.stage_cost)(x, u)
+            np.testing.assert_allclose(pp[c], pp1, atol=1e-5, err_msg=name)
+            np.testing.assert_allclose(pm[c], pm1, atol=1e-5, err_msg=name)
+            np.testing.assert_allclose(dt[c], dt1, rtol=1e-5, err_msg=name)
+            np.testing.assert_allclose(g[c], g1, rtol=2e-5, atol=1e-6,
+                                       err_msg=name)
+
+
+def test_declared_affine_structure_matches_drift():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from c3sc_tpu.models import make_problem
+
+    for name in ("lq", "pendulum", "dubins", "quadcopter"):
+        prob = make_problem(name)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(prob.lb, prob.ub, size=(prob.dx,)),
+                        jnp.float32)
+        u = jnp.asarray(rng.uniform(prob.ulb, prob.uub, size=(prob.du,)),
+                        jnp.float32)
+        f_direct = prob.drift(x, u)
+        f_affine = prob.drift_f0(x) + prob.drift_G(x) @ u
+        np.testing.assert_allclose(np.asarray(f_affine), np.asarray(f_direct),
+                                   atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(prob.sigma2_x(x)), np.asarray(prob.sigma2_diag(x, u)),
+            atol=1e-6, err_msg=name)
