@@ -25,6 +25,19 @@ Layout:
   utils/     checkpointing, metrics, config
 """
 
+import jax as _jax
+
+# Full-f32 matmuls, NOT the TPU default (which truncates f32 matmul inputs
+# to bf16). The solver's numerics run through chains of small [R, R]-scale
+# contractions — TT core products, QR/maxvol pivoting, interpolation solves
+# — where bf16's ~1e-2 relative error is amplified by the Bellman feedback
+# loop into a permanent 3e-2..6e-1 residual churn (measured on pendulum
+# 2026-08-18: identical code converges to 9e-6 on CPU f32 and churns on TPU
+# bf16). These matmuls are tiny and latency-bound, so full precision costs
+# ~nothing; the MXU-heavy paths (candidate drift contraction, rollouts) are
+# error-tolerant but stay consistent with the solver this way.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from c3sc_tpu.grids import Grid
 from c3sc_tpu.models.base import Boundary, ControlProblem, Obstacle
 

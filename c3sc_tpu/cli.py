@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rmax", type=int, default=16, help="TT rank cap")
     p.add_argument("--tol", type=float, default=1e-4, help="VI residual tolerance")
     p.add_argument("--cross-tol", type=float, default=1e-4)
+    p.add_argument("--cross-method", choices=["cross", "dmrg"], default="cross",
+                   help="tt solver: single-site kick-rank cross or two-site DMRG")
     p.add_argument("--max-iters", type=int, default=1000)
     p.add_argument("--rollouts", type=int, default=0, help="closed-loop rollout count")
     p.add_argument("--steps", type=int, default=500, help="rollout steps")
@@ -112,7 +114,8 @@ def main(argv=None):
 
             sol = tt_vi(prob, grid, max_iters=args.max_iters,
                         checkpoint_path=ckpt, checkpoint_every=args.save_every,
-                        resume_from=args.load, **common)
+                        resume_from=args.load, cross_method=args.cross_method,
+                        **common)
             summary = dict(solver="tt", residual=float(sol.residual),
                            iterations=sol.iterations, evals=sol.n_evals,
                            ranks=sol.ranks[-1], wall=round(sol.wall_time, 2))

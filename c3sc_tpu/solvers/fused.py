@@ -98,7 +98,7 @@ def _cholqr2(C):
 
 
 def _orth_basis_and_rank(C, noise, eps_rank, kick, rmax_active, row_mask,
-                         r_prev):
+                         r_prev, frozen):
     """One (Cholesky-)QR of the fiber matrix serves both rank estimation and
     the (kick-enriched) orthonormal basis, with MONOTONE rank selection.
 
@@ -115,12 +115,24 @@ def _orth_basis_and_rank(C, noise, eps_rank, kick, rmax_active, row_mask,
     """
     m, R = C.shape
     col = jnp.arange(R)
-    q, s = _cholqr2(C)                           # [m, R], [R]
+    # Householder QR, NOT CholeskyQR2: the Gram ridge pollutes the trailing
+    # (small-singular-value) directions of the column space, and since the
+    # interpolation core only depends on colspace + pivots, that trailing
+    # noise feeds straight into the assembled value. Singular values come
+    # from the small [R, R] triangular factor (exact). _cholqr2 remains
+    # available for problems whose spectra tolerate the squaring.
+    q, rfac = jnp.linalg.qr(C)                   # [m, R], [R, R]
+    s = jnp.linalg.svd(rfac, compute_uv=False)
     smax = jnp.maximum(s[0], 1e-30)
     r_need = jnp.maximum(jnp.sum(s > eps_rank * smax).astype(jnp.int32), 1)
     r_adapt = jnp.clip(r_need + kick, 1, rmax_active)
-    r_new = _hysteresis_rank(r_need, r_adapt, r_prev)
-    r_keep = jnp.clip(r_new - kick, 1, r_new)
+    r_new = jnp.where(frozen, r_prev,
+                      _hysteresis_rank(r_need, r_adapt, r_prev))
+    # noise only beyond the NEEDED directions, and at most `kick` columns:
+    # at saturation (r_need == r_new, e.g. capped at rmax) this leaves ZERO
+    # noise columns; frozen sweeps get pure real directions
+    r_keep = jnp.clip(jnp.maximum(r_need, r_new - kick), 1, r_new)
+    r_keep = jnp.where(frozen, r_new, r_keep)
     keepmask = (col < r_keep).astype(C.dtype)
     kickmask = ((col >= r_keep) & (col < r_new)).astype(C.dtype)
     z = noise * row_mask[:, None]
@@ -212,9 +224,9 @@ def _hysteresis_rank(r_need, r_adapt, r_prev):
     return jnp.where(saturated, jnp.maximum(r_adapt, r_prev), r_prev)
 
 
-def _hysteresis_rows(qe, rows_prev, r_new, r_prev, it, warmup: int = 60,
-                     log_gain: float = 0.4):
-    """Pivot selection with hysteresis.
+def _hysteresis_rows(qe, rows_prev, r_new, r_prev, it, frozen,
+                     warmup: int = 60, log_gain: float = 0.4):
+    """Pivot selection with hysteresis + convergence freeze.
 
     Fresh LU/maxvol pivots every sweep inject approximation noise that VI
     amplifies by 1/(1-gamma); hard-frozen pivots go unstable when the value
@@ -222,9 +234,17 @@ def _hysteresis_rows(qe, rows_prev, r_new, r_prev, it, warmup: int = 60,
     improves submatrix volume by exp(log_gain) (or the rank changed, or
     we're still in the adaptation warmup) — near the fixed point the sweep
     becomes deterministic, far from it pivots still track the function.
+
+    ``frozen`` (traced bool): once the sample residual is small, pivot
+    adaptation stops ENTIRELY. Adaptation is only needed far from the fixed
+    point; with frozen index sets the sweep is a deterministic interpolated
+    Bellman operator that contracts cleanly. Without the freeze, basin
+    selection between "converges to 1e-5" and "churns at 1e-2" was
+    decided by f32 tie-breaking noise — any reordering of einsum
+    accumulation flipped it (measured on pendulum 2026-08-18).
     """
     rows_new = _pivot_rows(qe, r_new)
-    switch = (
+    switch = (~frozen) & (
         (it < warmup)
         | (r_new != r_prev)
         | (_logvol(qe, rows_new, r_new) > _logvol(qe, rows_prev, r_new) + log_gain)
@@ -350,6 +370,7 @@ def make_fused_vi(
     sample_size: int = 256,
     window: int = 50,
     patience: int = 6,
+    freeze_res: float = 1e-2,
     probe_rollouts: int = 0,
     probe_steps: int = 200,
     probe_dt: float = 0.01,
@@ -504,6 +525,15 @@ def make_fused_vi(
         return val.astype(dtype).reshape(R, n, R)
 
     def body(carry: FusedCarry) -> FusedCarry:
+        # adaptation freeze: stop pivot/rank adaptation while the previous
+        # iteration's sample residual is below freeze_res. Freezing only
+        # near the fixed point is essential: the frozen sweep is the
+        # interpolated Bellman operator P.T, which contracts only where the
+        # pivots are (near-)maxvol for the CURRENT value — an unconditional
+        # scheduled freeze mid-churn diverged (residual 0.39 -> 37 on TPU).
+        # If the residual climbs back above the threshold, adaptation
+        # resumes (self-correcting, no latch).
+        frozen = carry.residual < freeze_res
         cores_prev, ranks_prev = carry.cores, carry.ranks
         left, right, rl, rr = carry.left, carry.right, carry.rl, carry.rr
         rows_l, rows_r = carry.rows_l, carry.rows_r
@@ -520,9 +550,10 @@ def make_fused_vi(
             C = vals.reshape(R * n, R) * row_mask[:, None] * col_mask[None, :]
             qe, r_need, r_new = _orth_basis_and_rank(
                 C, noise_l2r[k], eps_rank, kick,
-                jnp.minimum(R, rl[k] * n), row_mask, rl[k + 1],
+                jnp.minimum(R, rl[k] * n), row_mask, rl[k + 1], frozen,
             )
-            rows = _hysteresis_rows(qe, rows_l[k], r_new, rl[k + 1], carry.it)
+            rows = _hysteresis_rows(qe, rows_l[k], r_new, rl[k + 1],
+                                    carry.it, frozen)
             rows_l = rows_l.at[k].set(rows)
             G = _interp_from_rows(qe, rows, r_new)
             new_cores[k] = G.reshape(R, n, R)
@@ -559,9 +590,10 @@ def make_fused_vi(
             M = M * row_mask[:, None] * col_mask[None, :]
             qe, r_need, r_new = _orth_basis_and_rank(
                 M, noise_r2l[k], eps_rank, kick,
-                jnp.minimum(R, rr[k + 1] * n), row_mask, rr[k],
+                jnp.minimum(R, rr[k + 1] * n), row_mask, rr[k], frozen,
             )
-            rows = _hysteresis_rows(qe, rows_r[k], r_new, rr[k], carry.it)
+            rows = _hysteresis_rows(qe, rows_r[k], r_new, rr[k],
+                                    carry.it, frozen)
             rows_r = rows_r.at[k].set(rows)
             G = _interp_from_rows(qe, rows, r_new)
             # core k: [c, i, b] = G[(i, b), c]
