@@ -177,9 +177,14 @@ def dense_vi(
                          controls=np.asarray(controls))
 
 
-def dense_policy(problem: ControlProblem, grid: Grid, v, controls, dtype=jnp.float32):
+def dense_policy(problem: ControlProblem, grid: Grid, v, controls, dtype=jnp.float32,
+                 refine_steps: int = 0, refine_method: str = "pgd"):
     """Greedy policy u*(node) = argmin_u Bellman RHS against a dense v.
 
+    ``refine_steps > 0`` polishes the brute-force winner per node with
+    batched projected-gradient/L-BFGS steps of the continuous RHS under box
+    bounds — the reference's ``c3opt_minimize`` continuous mode, removing
+    the candidate-spacing quantization of the policy.
     Returns u [*grid.shape, du].
     """
     x, pp, pm, dt, g, term_mask, term_value = _precompute(problem, grid, controls, dtype)
@@ -189,4 +194,15 @@ def dense_policy(problem: ControlProblem, grid: Grid, v, controls, dtype=jnp.flo
     )
     best = jnp.argmin(rhs, axis=0)  # [N]
     u = jnp.asarray(controls, dtype)[best]  # [N, du]
+    if refine_steps > 0:
+        from c3sc_tpu.solvers.ttvi import refine_controls
+
+        # dense v is already terminal-pinned at nodes, so its neighbor
+        # values need no extra pinning
+        vn = jnp.stack([vp, vm], axis=1)               # [N, 2, d]
+        f0 = jnp.min(rhs, axis=0)
+        u, _ = jax.jit(
+            lambda u0, f0, vn: refine_controls(
+                problem, grid, x, vn, u0, f0, refine_steps, refine_method)
+        )(u, f0, vn)
     return u.reshape(*grid.shape, problem.du)

@@ -377,8 +377,16 @@ def make_fused_vi(
     probe_x0=None,
     dtype=jnp.float32,
     mesh=None,
+    refine_steps: int = 0,
+    refine_method: str = "pgd",
 ):
     """Build the jitted fused solver. Returns (solve_fn, init_fn, step_fn).
+
+    ``refine_steps > 0``: after the brute-force candidate argmin, polish
+    each fiber node's control with that many batched projected-gradient
+    (or L-BFGS) steps of the continuous Bellman RHS — the reference's
+    per-node ``c3opt_minimize`` inner solve running INSIDE the fused sweep
+    (SURVEY.md §3.1 HOTTEST loop; VERDICT r1 missing #2).
 
     ``mesh``: optional ``jax.sharding.Mesh``. When given, the Bellman fiber
     block — the solve's dominant compute — carries GSPMD sharding
@@ -518,6 +526,12 @@ def make_fused_vi(
         expect = jnp.sum(pp * vn[None, :, 0] + pm * vn[None, :, 1], axis=-1)
         rhs = g * dtt + jnp.exp(-problem.beta * dtt) * expect
         val = jnp.min(rhs, axis=0)
+        if refine_steps > 0:
+            from c3sc_tpu.solvers.ttvi import refine_controls
+
+            u0 = uc[jnp.argmin(rhs, axis=0)]                   # [B, du]
+            _, val = refine_controls(problem, grid, x, vn, u0, val,
+                                     refine_steps, refine_method)
         if vb is not None:
             val = jnp.clip(val, vb[0], vb[1])
         tm, tv = mca.node_terminal(problem, grid, flat_idx, x)
@@ -742,6 +756,8 @@ def fused_tt_vi(
     v0: TT | None = None,
     carry: FusedCarry | None = None,
     mesh=None,
+    refine_steps: int = 0,
+    refine_method: str = "pgd",
 ) -> FusedVISolution:
     """One-call fused VI solve (single XLA program, zero host round-trips).
 
@@ -756,6 +772,7 @@ def fused_tt_vi(
         tol=tol, max_iters=max_iters, sample_size=sample_size,
         window=window, patience=patience, probe_rollouts=probe_rollouts,
         probe_steps=probe_steps, probe_dt=probe_dt, dtype=dtype, mesh=mesh,
+        refine_steps=refine_steps, refine_method=refine_method,
     )
     if carry is None:
         carry = init_fn(key, v0)

@@ -46,15 +46,54 @@ def _neighbor_indices(grid: Grid, idx):
     return jnp.stack([ups, dns], axis=1)  # [B, 2, d, d]
 
 
-def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
-                   dtype=jnp.float32):
-    """Traced fused Bellman backup at nodes idx [B, d] -> [B].
+def rhs_continuous(problem: ControlProblem, grid: Grid, x, vn):
+    """Bellman RHS as a differentiable function of arbitrary controls.
 
-    min over candidate controls uc [C, du] of the MCA RHS, with TT neighbor
-    evaluation and terminal pinning (both at evaluated nodes and at
-    neighbors). Pure function — reused by the chunked kernel, the fused
-    cross sweep, and the sharded multi-chip step.
+    Given fixed evaluation states x [B, d] and (already terminal-pinned)
+    neighbor values vn [B, 2, d], returns ``f(u [B, du]) -> rhs [B]`` — the
+    objective the reference hands to ``c3opt_minimize`` per node
+    (``c3sc/src/bellman.c`` ``bellmanrhs`` — line n/a, empty mount;
+    SURVEY.md §3.1 HOTTEST loop). Gradients w.r.t. u come from ``jax.grad``
+    through the whole stencil (drift, diffusion, dt, discount), replacing
+    the reference's hand-assembled chain rule.
     """
+
+    def f(u):
+        pp, pm, dtt = mca.transition_batch(problem, grid, x, u)
+        g = jax.vmap(problem.stage_cost)(x, u)
+        expect = jnp.sum(pp * vn[:, 0] + pm * vn[:, 1], axis=-1)
+        return g * dtt + jnp.exp(-problem.beta * dtt) * expect
+
+    return f
+
+
+def refine_controls(problem: ControlProblem, grid: Grid, x, vn, u0, f0,
+                    refine_steps: int, method: str = "pgd"):
+    """Continuous inner-minimization polish of the brute-force winner.
+
+    The solver-side ``c3opt_minimize`` equivalent (SURVEY.md §2.2 c3opt row):
+    starting from the best control candidate u0 [B, du] with objective value
+    f0 [B], run ``refine_steps`` batched projected-gradient (or L-BFGS)
+    iterations of the continuous Bellman RHS under box bounds. Monotone by
+    construction (the incumbent is always a candidate), so the returned
+    objective is <= f0 elementwise. Returns (u_opt, f_opt).
+    """
+    from c3sc_tpu.ops.argmin import lbfgs_minimize, pgd_minimize
+
+    f = rhs_continuous(problem, grid, x, vn)
+    if method == "lbfgs":
+        u_opt, f_opt = lbfgs_minimize(
+            f, u0, problem.ulb, problem.uub, n_iters=refine_steps)
+    else:
+        u_opt, f_opt = pgd_minimize(
+            f, u0, problem.ulb, problem.uub, n_iters=refine_steps)
+    return u_opt, jnp.minimum(f_opt, f0)
+
+
+def _pinned_neighbor_values(problem, grid, v_tt, idx, dtype):
+    """TT neighbor values with value-bounds clamping + terminal pinning.
+
+    Returns (x [B, d], vn [B, 2, d])."""
     d = problem.dx
     x = grid.index_to_state(idx).astype(dtype)  # [B, d]
     nb = _neighbor_indices(grid, idx)           # [B, 2, d, d]
@@ -68,7 +107,26 @@ def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
     nx = grid.index_to_state(nb_flat).astype(dtype)
     t_mask, t_val = mca.node_terminal(problem, grid, nb_flat, nx)
     vn = jnp.where(t_mask, t_val.astype(dtype), vn)
-    vn = vn.reshape(-1, 2, d)                   # [B, 2, d]
+    return x, vn.reshape(-1, 2, d)              # [B, 2, d]
+
+
+def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
+                   dtype=jnp.float32, refine_steps: int = 0,
+                   refine_method: str = "pgd"):
+    """Traced fused Bellman backup at nodes idx [B, d] -> [B].
+
+    min over candidate controls uc [C, du] of the MCA RHS, with TT neighbor
+    evaluation and terminal pinning (both at evaluated nodes and at
+    neighbors). Pure function — reused by the chunked kernel, the fused
+    cross sweep, and the sharded multi-chip step.
+
+    ``refine_steps > 0`` polishes the brute-force winner with that many
+    batched projected-gradient (or L-BFGS, ``refine_method='lbfgs'``) steps
+    of the continuous RHS — the reference's per-node ``c3opt_minimize``
+    BFGS inner solve (SURVEY.md §3.1 HOTTEST loop), recovering control
+    accuracy beyond the candidate spacing INSIDE the solve.
+    """
+    x, vn = _pinned_neighbor_values(problem, grid, v_tt, idx, dtype)
 
     # all-candidates stencil + cost (uses the problem's declared affine/
     # separable structure when present — ONE drift contraction for all C)
@@ -77,6 +135,10 @@ def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
     expect = jnp.sum(pp * vn[None, :, 0] + pm * vn[None, :, 1], axis=-1)
     rhs = g * dt + jnp.exp(-problem.beta * dt) * expect              # [C,B]
     val = jnp.min(rhs, axis=0)
+    if refine_steps > 0:
+        u0 = uc[jnp.argmin(rhs, axis=0)]                             # [B,du]
+        _, val = refine_controls(problem, grid, x, vn, u0, val,
+                                 refine_steps, refine_method)
     if problem.value_bounds is not None:
         val = jnp.clip(val, problem.value_bounds[0], problem.value_bounds[1])
     # pin terminal evaluation nodes
@@ -87,18 +149,22 @@ def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
 
 
 def make_bellman_kernel(problem: ControlProblem, grid: Grid, controls,
-                        chunk: int = 4096, dtype=jnp.float32):
+                        chunk: int = 4096, dtype=jnp.float32,
+                        refine_steps: int = 0, refine_method: str = "pgd"):
     """Build the jitted fused Bellman-backup kernel.
 
     Returns bellman(v_tt: TT, idx [B, d] int32) -> [B] float — handles any B
     by padding to `chunk` multiples (one compile total).
-    """
+    ``refine_steps``: continuous inner-min polish per node (see
+    ``bellman_backup``)."""
     uc = jnp.asarray(controls, dtype)
     d = problem.dx
 
     @jax.jit
     def _chunk_kernel(v_tt: TT, idx):
-        return bellman_backup(problem, grid, uc, v_tt, idx, dtype)
+        return bellman_backup(problem, grid, uc, v_tt, idx, dtype,
+                              refine_steps=refine_steps,
+                              refine_method=refine_method)
 
     def bellman(v_tt: TT, idx):
         B = idx.shape[0]
@@ -155,6 +221,8 @@ def tt_vi(
     checkpoint_every: int = 50,
     resume_from: str | None = None,
     cross_method: str = "cross",
+    refine_steps: int = 0,
+    refine_method: str = "pgd",
 ) -> TTVISolution:
     """Solve the MCA Bellman fixed point with a TT-compressed value function.
 
@@ -163,6 +231,8 @@ def tt_vi(
     ``checkpoint_every`` iterations; ``resume_from`` restarts a saved run.
     ``cross_method``: 'cross' (single-site, kick-rank) or 'dmrg' (two-site
     SVD rank revelation — C3's dmrg path).
+    ``refine_steps``: per-node continuous inner-min polish inside the
+    backup (the reference's c3opt BFGS mode; 0 = brute force only).
     """
     if key is None:
         key = jax.random.key(0)
@@ -177,7 +247,9 @@ def tt_vi(
         state = ck.get("state", state)
         start_iter = ck["iteration"] + 1
         key = ck.get("key", key)
-    bellman = make_bellman_kernel(problem, grid, controls, chunk, dtype)
+    bellman = make_bellman_kernel(problem, grid, controls, chunk, dtype,
+                                  refine_steps=refine_steps,
+                                  refine_method=refine_method)
 
     rng = np.random.default_rng(777)
     sample_idx = np.stack(

@@ -45,6 +45,29 @@ def test_lq_policy_matches_lqr_gain(lq_solution):
     assert np.quantile(err, 0.9) < spacing * 1.5
 
 
+def test_lq_refined_policy_beats_candidate_spacing(lq_solution):
+    """Continuous inner min (c3opt equivalent) inside the policy removes the
+    candidate-grid quantization: error must drop WELL below one candidate
+    spacing (VERDICT r1 item 4 — slack removed)."""
+    prob, grid, sol = lq_solution
+    P, c, K = lqr_solution(sigma=1.0, beta=1.0)
+    u = np.asarray(dense_policy(prob, grid, sol.v, sol.controls,
+                                refine_steps=10))
+    xs = grid.meshgrid()
+    X = np.stack([m.ravel() for m in xs], -1)
+    u_true = -(X @ K.T)
+    interior = np.all(np.abs(X) < 1.0, axis=-1)
+    spacing = 12.0 / 40
+    err = np.abs(u.reshape(-1, 1)[interior] - u_true[interior])
+    # no quantization slack: sub-candidate-spacing accuracy (the residual
+    # error is the value function's own grid/boundary error, not spacing)
+    assert np.quantile(err, 0.9) < spacing * 0.5
+    # and strictly better than the unrefined brute-force policy
+    u_bf = np.asarray(dense_policy(prob, grid, sol.v, sol.controls))
+    err_bf = np.abs(u_bf.reshape(-1, 1)[interior] - u_true[interior])
+    assert np.quantile(err, 0.9) < np.quantile(err_bf, 0.9)
+
+
 def test_pendulum_converges_and_value_shape():
     prob = make_pendulum_problem(beta=0.5)
     grid = prob.default_grid(41)

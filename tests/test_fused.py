@@ -52,3 +52,25 @@ def test_fused_warm_restart_continues():
                        tol=1e-4, max_iters=2000, carry=sol1.carry)
     assert sol2.iterations > 30
     assert sol2.residual < sol1.residual
+
+
+def test_fused_refine_steps_compiles_and_converges():
+    """Fused sweep with the continuous inner min (refine_steps) jits and
+    reaches the same fixed point on LQ."""
+    from c3sc_tpu.models import make_lq_problem
+    from c3sc_tpu.solvers.fused import fused_tt_vi
+
+    prob = make_lq_problem(sigma=1.0, beta=1.0)
+    grid = prob.default_grid(21)
+    sol = fused_tt_vi(
+        prob, grid, n_controls=9, rmax=8, tol=2e-4, max_iters=600,
+        refine_steps=3, key=jax.random.key(0),
+    )
+    assert np.isfinite(sol.residual)
+    dense = dense_vi(prob, grid, controls=prob.control_candidates(41),
+                     tol=1e-5, max_outer=400, chunk=100)
+    idx = all_nodes(grid)
+    v_tt = np.asarray(tt_gather_eval(sol.v, jnp.asarray(idx, jnp.int32)))
+    v_dense = np.asarray(dense.v).ravel()
+    err = np.abs(v_tt - v_dense) / np.abs(v_dense).max()
+    assert np.quantile(err, 0.95) < 0.05

