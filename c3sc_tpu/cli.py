@@ -99,10 +99,13 @@ def main(argv=None):
             from c3sc_tpu.utils import save_solver_state
 
             fkw = dict(common)
-            for drop in ("cross_tol", "verbose", "metrics"):
+            for drop in ("cross_tol", "verbose"):
                 fkw.pop(drop, None)
             sol = fused_tt_vi(prob, grid, max_iters=args.max_iters,
                               probe_rollouts=args.probe, probe_dt=args.dt,
+                              checkpoint_path=os.path.join(outdir, "solver_state.npz"),
+                              checkpoint_every=args.save_every,
+                              resume_from=args.load,
                               **fkw)
             save_solver_state(ckpt, sol.v, None, sol.iterations)
             summary = dict(solver="fused", residual=float(sol.residual),

@@ -53,7 +53,7 @@ def fused_mpc_run(
 ) -> FusedMPCResult:
     if controls is None:
         controls = problem.control_candidates(n_controls)
-    solve_fn, init_fn, step_fn = make_fused_vi(
+    solve_fn, init_fn, step_fn, _ = make_fused_vi(
         problem, grid, controls, rmax=rmax, tol=0.0, max_iters=10**9,
     )
     key, sk = jax.random.split(key)

@@ -43,6 +43,23 @@ from c3sc_tpu.ops.tt import TT, tt_gather_eval
 from c3sc_tpu.solvers.ttvi import bellman_backup
 
 
+class FusedSolver(NamedTuple):
+    """Bundle returned by ``make_fused_vi``.
+
+    solve_fn(carry) -> carry        run to convergence (one dispatch)
+    init_fn(key, v0=None) -> carry  fresh solver state
+    step_fn(carry, n) -> carry      exactly n iterations (fori_loop; benches)
+    run_fn(carry, n) -> carry       up to n iterations, stops early on the
+                                    SAME conditions as solve_fn (chunked
+                                    driving for metrics/checkpointing)
+    """
+
+    solve_fn: object
+    init_fn: object
+    step_fn: object
+    run_fn: object
+
+
 class FusedCarry(NamedTuple):
     cores: tuple          # d x [R, n_k, R] current value TT (padded-zero)
     ranks: jnp.ndarray    # [d+1] int32
@@ -706,22 +723,33 @@ def make_fused_vi(
             cores_best=cores, ranks_best=ranks,
         )
 
+    def cond(c):
+        return (
+            (c.it < max_iters)
+            & (c.residual > tol)
+            & (c.long_res > tol)
+            & (c.wstall < patience)
+        )
+
     @jax.jit
     def solve_fn(carry: FusedCarry) -> FusedCarry:
-        def cond(c):
-            return (
-                (c.it < max_iters)
-                & (c.residual > tol)
-                & (c.long_res > tol)
-                & (c.wstall < patience)
-            )
         return jax.lax.while_loop(cond, body, carry)
 
     @jax.jit
     def step_fn(carry: FusedCarry, n_iters: int = 1) -> FusedCarry:
         return jax.lax.fori_loop(0, n_iters, lambda _, c: body(c), carry)
 
-    return solve_fn, init_fn, step_fn
+    @jax.jit
+    def run_fn(carry: FusedCarry, n_iters: int = 1) -> FusedCarry:
+        """Up to n_iters iterations with solve_fn's stopping conditions —
+        the chunked driver behind per-window metrics + mid-run checkpoints
+        (the reference's ``struct Diag`` contract, SURVEY.md §5)."""
+        limit = carry.it + n_iters
+        return jax.lax.while_loop(
+            lambda c: cond(c) & (c.it < limit), body, carry
+        )
+
+    return FusedSolver(solve_fn, init_fn, step_fn, run_fn)
 
 
 @dataclasses.dataclass
@@ -758,33 +786,93 @@ def fused_tt_vi(
     mesh=None,
     refine_steps: int = 0,
     refine_method: str = "pgd",
+    metrics=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume_from: str | None = None,
+    log_every: int = 0,
 ) -> FusedVISolution:
     """One-call fused VI solve (single XLA program, zero host round-trips).
 
     ``mesh``: optional device mesh — shards the Bellman fiber block over
-    the 'fibers' (and optional 'ctrl') axes; see ``make_fused_vi``."""
+    the 'fibers' (and optional 'ctrl') axes; see ``make_fused_vi``.
+
+    Observability + failure recovery (reference ``struct Diag`` +
+    checkpoint-restart, SURVEY.md §5): when ``metrics`` (a
+    ``MetricsLogger``), ``checkpoint_path`` or ``log_every`` is given the
+    solve runs in on-device chunks of ``log_every`` iterations (default:
+    the stopping ``window``) via ``run_fn`` — identical stopping semantics,
+    one host sync per chunk — emitting per-chunk records (iteration,
+    residual, long-window residual, active ranks, probe cost) and saving a
+    resumable full-state checkpoint every ``checkpoint_every`` iterations.
+    ``resume_from`` restores a saved ``FusedCarry`` and continues."""
     if key is None:
         key = jax.random.key(0)
     if controls is None:
         controls = problem.control_candidates(n_controls)
-    solve_fn, init_fn, _ = make_fused_vi(
+    solver = make_fused_vi(
         problem, grid, controls, rmax=rmax, kick=kick, eps_rank=eps_rank,
         tol=tol, max_iters=max_iters, sample_size=sample_size,
         window=window, patience=patience, probe_rollouts=probe_rollouts,
         probe_steps=probe_steps, probe_dt=probe_dt, dtype=dtype, mesh=mesh,
         refine_steps=refine_steps, refine_method=refine_method,
     )
+    if resume_from is not None:
+        from c3sc_tpu.utils.checkpoint import load_fused_carry
+
+        carry = load_fused_carry(resume_from)
     if carry is None:
-        carry = init_fn(key, v0)
+        carry = solver.init_fn(key, v0)
     else:
         # fresh stopping state for the warm restart
         carry = carry._replace(
             wstall=jnp.zeros_like(carry.wstall),
             long_res=jnp.full_like(carry.long_res, jnp.inf),
         )
+    chunked = metrics is not None or checkpoint_path is not None or log_every > 0
     t0 = time.time()
-    out = solve_fn(carry)
-    jax.block_until_ready(out.residual)
+    if not chunked:
+        out = solver.solve_fn(carry)
+        jax.block_until_ready(out.residual)
+    else:
+        chunk = log_every if log_every > 0 else window
+        out = carry
+        last_saved = int(out.it)
+        while True:
+            out = solver.run_fn(out, chunk)
+            jax.block_until_ready(out.residual)
+            it = int(out.it)
+            if metrics is not None:
+                rec = dict(
+                    iter=it,
+                    residual=float(out.residual),
+                    long_res=float(out.long_res),
+                    wstall=int(out.wstall),
+                    ranks=[int(r) for r in np.asarray(out.ranks)],
+                )
+                if probe_rollouts > 0:
+                    rec["probe_cost"] = float(out.probe_cost)
+                    rec["best_cost"] = float(out.best_cost)
+                metrics.log("fused_vi", **rec)
+            if checkpoint_path is not None and checkpoint_every > 0 and (
+                it - last_saved >= checkpoint_every
+            ):
+                from c3sc_tpu.utils.checkpoint import save_fused_carry
+
+                save_fused_carry(checkpoint_path, out)
+                last_saved = it
+            stop = (
+                it >= max_iters
+                or float(out.residual) <= tol
+                or float(out.long_res) <= tol
+                or int(out.wstall) >= patience
+            )
+            if stop:
+                break
+        if checkpoint_path is not None:
+            from c3sc_tpu.utils.checkpoint import save_fused_carry
+
+            save_fused_carry(checkpoint_path, out)
     wall = time.time() - t0
     # cores_best: probe-harvested best iterate when probing, else the last
     v = TT(out.cores_best, out.ranks_best)

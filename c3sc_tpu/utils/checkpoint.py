@@ -39,6 +39,56 @@ def save_solver_state(path: str, v: TT, state: CrossState | None,
     np.savez(path, **arrays)
 
 
+_FUSED_SIMPLE_FIELDS = (
+    "ranks", "left", "right", "rl", "rr", "rows_l", "rows_r", "it",
+    "residual", "long_res", "wstall", "v_sample", "sample_ref",
+    "probe_cost", "best_cost", "ranks_best",
+)
+
+
+def _npz(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def save_fused_carry(path: str, carry) -> None:
+    """Serialize the FULL fused-solver state (``FusedCarry``) — cores, cross
+    index sets, pivot rows, stopping state, probe-harvest snapshot — so a
+    killed fused run resumes mid-VI (SURVEY.md §5 checkpoint row; VERDICT r1
+    missing #5). Atomic: writes a temp file then renames over the target."""
+    import os
+
+    arrays = {}
+    for k, c in enumerate(carry.cores):
+        arrays[f"core_{k}"] = np.asarray(c)
+    for k, c in enumerate(carry.cores_best):
+        arrays[f"core_best_{k}"] = np.asarray(c)
+    for name in _FUSED_SIMPLE_FIELDS:
+        arrays[name] = np.asarray(getattr(carry, name))
+    arrays["key_data"] = np.asarray(jax.random.key_data(carry.key))
+    meta = {"d": len(carry.cores), "kind": "fused_carry"}
+    arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    tmp = _npz(path) + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, _npz(path))
+
+
+def load_fused_carry(path: str):
+    """Restore a ``FusedCarry`` saved by ``save_fused_carry``."""
+    from c3sc_tpu.solvers.fused import FusedCarry
+
+    data = np.load(_npz(path))
+    meta = json.loads(bytes(data["meta"]).decode())
+    assert meta.get("kind") == "fused_carry", f"not a fused checkpoint: {path}"
+    d = meta["d"]
+    kw = {name: jnp.asarray(data[name]) for name in _FUSED_SIMPLE_FIELDS}
+    return FusedCarry(
+        cores=tuple(jnp.asarray(data[f"core_{k}"]) for k in range(d)),
+        cores_best=tuple(jnp.asarray(data[f"core_best_{k}"]) for k in range(d)),
+        key=jax.random.wrap_key_data(jnp.asarray(data["key_data"])),
+        **kw,
+    )
+
+
 def load_solver_state(path: str) -> dict:
     data = np.load(path)
     meta = json.loads(bytes(data["meta"]).decode())
