@@ -39,4 +39,9 @@ def global_mesh(axes=("fibers", "ctrl"), ctrl: int = 1):
     devs = jax.devices()
     n = len(devs)
     assert n % ctrl == 0
-    return make_mesh(axes=axes, shape=(n // ctrl, ctrl), devices=devs)
+    if len(axes) == 1:
+        assert ctrl == 1, "ctrl > 1 needs a 'ctrl' mesh axis"
+        shape = (n,)
+    else:
+        shape = (n // ctrl, ctrl) + (1,) * (len(axes) - 2)
+    return make_mesh(axes=axes, shape=shape, devices=devs)

@@ -33,19 +33,67 @@ def solve_batch(
 
     Returns the stacked final FusedCarry (leading axis = instance).
     """
-    solve_fn, init_fn, _ = make_fused_vi(
+    solve_fn, init_fn, _, _ = make_fused_vi(
         problem, grid, controls, rmax=rmax, **fused_kwargs
     )
     carries = [init_fn(k) for k in keys]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
     vsolve = jax.jit(jax.vmap(solve_fn))
     if mesh is not None:
-        shard = NamedSharding(mesh, P(axis))
         stacked = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))),
             stacked,
         )
-        del shard
     out = vsolve(stacked)
     jax.block_until_ready(out.residual)
     return out
+
+
+def make_batch_stepper(
+    problem: ControlProblem,
+    grid: Grid,
+    controls,
+    rmax: int = 16,
+    mesh: Mesh | None = None,
+    axis: str = "fibers",
+    **fused_kwargs,
+):
+    """Fixed-iteration batched fused-VI stepper for scaling measurements.
+
+    Unlike ``solve_batch`` (vmapped while_loop — lockstep until the LAST
+    instance converges), this runs an exact number of iterations per
+    instance, so wall time measures pure throughput: the basis of the
+    solves/s scaling-efficiency metric (BASELINE.md, >= 80% from 1 to
+    N >= 2 hosts). Returns ``(init, step)``:
+
+      init(keys [N]) -> stacked FusedCarry (batch axis sharded over `axis`)
+      step(stacked, n_iters) -> stacked   (jitted; n_iters static)
+    """
+    _, init_fn, step_fn, _ = make_fused_vi(
+        problem, grid, controls, rmax=rmax, tol=0.0, max_iters=10**9,
+        **fused_kwargs,
+    )
+
+    def init(keys):
+        carries = [init_fn(k) for k in keys]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
+        if mesh is not None:
+            stacked = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x,
+                    NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))),
+                ),
+                stacked,
+            )
+        return stacked
+
+    vstep = jax.jit(
+        jax.vmap(step_fn, in_axes=(0, None)), static_argnums=1
+    )
+
+    def step(stacked, n_iters: int):
+        out = vstep(stacked, n_iters)
+        jax.block_until_ready(out.residual)
+        return out
+
+    return init, step

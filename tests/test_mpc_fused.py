@@ -12,10 +12,10 @@ def test_fused_mpc_stabilizes_lq():
     prob = make_lq_problem(sigma=0.5, beta=1.0)
     grid = prob.default_grid(21)
     B = 16
-    x0 = jnp.tile(jnp.array([1.5, 0.0]), (B, 1))
+    dt, steps_per_replan = 0.02, 25
     res = fused_mpc_run(
-        prob, grid, x0, jax.random.key(0),
-        dt=0.02, steps_per_replan=25, n_replans=6,
+        prob, grid, jnp.tile(jnp.array([1.5, 0.0]), (B, 1)), jax.random.key(0),
+        dt=dt, steps_per_replan=steps_per_replan, n_replans=6,
         n_controls=9, rmax=8, refine_iters=3, first_solve_iters=300,
     )
     assert res.xs.shape == (1 + 6 * 25, B, 2)
@@ -25,3 +25,13 @@ def test_fused_mpc_stabilizes_lq():
     # warm replans exist and are recorded
     assert len(res.replan_latency) == 6
     assert all(l >= 0 for l in res.replan_latency)
+    # real-time budget (BASELINE.md replanning row): a warm replan must
+    # finish inside the simulated horizon it replans for, i.e. the
+    # controller keeps up with real time. Warm replans are index 1+ (index
+    # 0 is the cold solve, accounted separately by fused_mpc_run).
+    budget_s = steps_per_replan * dt
+    warm = res.replan_latency[1:]
+    assert all(l < budget_s for l in warm), (
+        f"warm replan latencies {warm} exceed the {budget_s:.2f}s "
+        f"real-time budget"
+    )
