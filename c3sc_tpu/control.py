@@ -161,13 +161,28 @@ class C3Control:
 
         return tt_cross(f, grid.shape, rmax=rmax, key=key, **kwargs).tt
 
-    def implicit_policy(self, sol, refine_steps: int = 0, n_controls: int = 9):
-        from c3sc_tpu.ops.tt import tt_lerp_eval
+    def implicit_policy(self, sol, refine_steps: int = 0, n_controls: int = 9,
+                        basis: str = "linelm"):
+        """Feedback policy from a solved value function.
+
+        ``basis``: 'linelm' (multilinear lerp — the reference c3sc default)
+        or 'poly' (upgrade the nodal TT to a smooth orthonormal-Legendre
+        function train, C3's polynomial-core FT — smoother off-grid values
+        and well-defined gradients for the continuous inner min)."""
         from c3sc_tpu.sim.policy import make_implicit_policy
 
         prob = self.problem()
         grid = sol.grid
+        if basis == "poly":
+            from c3sc_tpu.ops.ft import ft_eval, ft_from_tt
+
+            ft = ft_from_tt(sol.v, grid)
+            value_fn = lambda p: ft_eval(ft, p)
+        else:
+            from c3sc_tpu.ops.tt import tt_lerp_eval
+
+            value_fn = lambda p: tt_lerp_eval(sol.v, grid, p)
         return make_implicit_policy(
-            prob, grid, lambda p: tt_lerp_eval(sol.v, grid, p),
+            prob, grid, value_fn,
             prob.control_candidates(n_controls), refine_steps=refine_steps,
         )

