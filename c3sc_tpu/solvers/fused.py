@@ -82,6 +82,10 @@ class FusedCarry(NamedTuple):
     best_cost: jnp.ndarray  # float — best probe cost seen
     cores_best: tuple       # cores snapshot at best_cost
     ranks_best: jnp.ndarray # [d+1]
+    frozen: jnp.ndarray     # bool — sticky adaptation-freeze latch
+    freeze_mark: jnp.ndarray  # float — long_res when the latch engaged
+    best_long: jnp.ndarray  # float — best windowed residual seen (monotone)
+    warm_until: jnp.ndarray # int32 — free-repivot warmup end (reset on growth)
 
 
 def _cholqr2(C):
@@ -177,7 +181,7 @@ def _interp_from_rows(qe, rows, r_new):
     return jnp.linalg.solve(sub.T, qe.T).T
 
 
-def _pivot_rows(qe, r_new, n_swaps: int = 6):
+def _pivot_rows(qe, r_new, n_swaps: int | None = None):
     """Maxvol pivot rows: partial-pivoted LU seed + greedy swap refinement.
 
     The LU seed runs on a top-8R row subset (by row norm) instead of the
@@ -193,6 +197,13 @@ def _pivot_rows(qe, r_new, n_swaps: int = 6):
     TT oscillates wildly between pivots).
     """
     m, R = qe.shape
+    if n_swaps is None:
+        # NOTE: scaling swaps with R (n_swaps = max(8, R)) was tried and
+        # REVERTED — aggressive per-sweep refinement makes the pivot sets
+        # churn harder under hysteresis (pendulum 41^2 rmax=24 parity
+        # regressed 0.6% -> 2.8%); 6 greedy swaps + volume hysteresis is
+        # the measured sweet spot
+        n_swaps = 6
     K = min(m, 8 * R)
     norms = jnp.sum(qe * qe, axis=1)
     _, cand = jax.lax.top_k(norms, K)            # [K] row ids
@@ -241,8 +252,8 @@ def _hysteresis_rank(r_need, r_adapt, r_prev):
     return jnp.where(saturated, jnp.maximum(r_adapt, r_prev), r_prev)
 
 
-def _hysteresis_rows(qe, rows_prev, r_new, r_prev, it, frozen,
-                     warmup: int = 60, log_gain: float = 0.4):
+def _hysteresis_rows(qe, rows_prev, r_new, r_prev, in_warmup, frozen,
+                     log_gain: float = 0.4):
     """Pivot selection with hysteresis + convergence freeze.
 
     Fresh LU/maxvol pivots every sweep inject approximation noise that VI
@@ -262,7 +273,7 @@ def _hysteresis_rows(qe, rows_prev, r_new, r_prev, it, frozen,
     """
     rows_new = _pivot_rows(qe, r_new)
     switch = (~frozen) & (
-        (it < warmup)
+        in_warmup
         | (r_new != r_prev)
         | (_logvol(qe, rows_new, r_new) > _logvol(qe, rows_prev, r_new) + log_gain)
     )
@@ -388,6 +399,7 @@ def make_fused_vi(
     window: int = 50,
     patience: int = 6,
     freeze_res: float = 1e-2,
+    freeze_after: int = 2,
     probe_rollouts: int = 0,
     probe_steps: int = 200,
     probe_dt: float = 0.01,
@@ -397,7 +409,12 @@ def make_fused_vi(
     refine_steps: int = 0,
     refine_method: str = "pgd",
 ):
-    """Build the jitted fused solver. Returns (solve_fn, init_fn, step_fn).
+    """Build the jitted fused solver. Returns a ``FusedSolver`` bundle.
+
+    ``freeze_after``: windows without long-residual improvement before the
+    sticky adaptation-freeze latch engages (see ``body``); the frozen sweep
+    is a deterministic contraction, which is what lets saturated-rank
+    solves converge instead of churning at the pivot-noise floor.
 
     ``refine_steps > 0``: after the brute-force candidate argmin, polish
     each fiber node's control with that many batched projected-gradient
@@ -556,15 +573,35 @@ def make_fused_vi(
         return val.astype(dtype).reshape(R, n, R)
 
     def body(carry: FusedCarry) -> FusedCarry:
-        # adaptation freeze: stop pivot/rank adaptation while the previous
-        # iteration's sample residual is below freeze_res. Freezing only
-        # near the fixed point is essential: the frozen sweep is the
-        # interpolated Bellman operator P.T, which contracts only where the
-        # pivots are (near-)maxvol for the CURRENT value — an unconditional
-        # scheduled freeze mid-churn diverged (residual 0.39 -> 37 on TPU).
-        # If the residual climbs back above the threshold, adaptation
-        # resumes (self-correcting, no latch).
-        frozen = carry.residual < freeze_res
+        # Adaptation freeze — two triggers:
+        # (1) residual gate: stop pivot/rank adaptation while the previous
+        #     iteration's sample residual is below freeze_res (transient,
+        #     self-correcting — resumes if the residual climbs back).
+        # (2) sticky plateau latch (carry.frozen): when the windowed
+        #     long-residual fails to improve for `freeze_after` consecutive
+        #     windows, adaptation has stopped progressing — at a SATURATED
+        #     rank cap the pivot reselection noise alone floors the
+        #     residual at 3e-2..1e-1 (measured, pendulum 61^2 rmax=12:
+        #     identical churn on CPU and TPU, so not an arithmetic issue).
+        #     Latching the freeze turns the sweep into a deterministic
+        #     interpolated Bellman operator that contracts to ITS fixed
+        #     point (within truncation error of the best attainable). The
+        #     latch releases only on divergence (long_res > 2x its value at
+        #     engagement) — an unconditional scheduled freeze mid-churn
+        #     diverged (residual 0.39 -> 37 on TPU), so the plateau
+        #     precondition + divergence exit are both essential.
+        # emergency release EVERY iteration: a latched freeze whose
+        # operator turns out unstable grows the residual geometrically —
+        # it must unlatch before values overflow (NaN comparisons are all
+        # False, so a NaN-poisoned state can never exit via the boundary
+        # test; measured: LQ rmax=10 latched at res 2.6e-3 and went NaN
+        # within 32 sweeps)
+        emergency = carry.frozen & (
+            ~jnp.isfinite(carry.residual)
+            | (carry.residual > 10.0 * freeze_res)
+        )
+        frozen_latch = carry.frozen & ~emergency
+        frozen = frozen_latch | (carry.residual < freeze_res)
         cores_prev, ranks_prev = carry.cores, carry.ranks
         left, right, rl, rr = carry.left, carry.right, carry.rl, carry.rr
         rows_l, rows_r = carry.rows_l, carry.rows_r
@@ -584,7 +621,7 @@ def make_fused_vi(
                 jnp.minimum(R, rl[k] * n), row_mask, rl[k + 1], frozen,
             )
             rows = _hysteresis_rows(qe, rows_l[k], r_new, rl[k + 1],
-                                    carry.it, frozen)
+                                    carry.it < carry.warm_until, frozen)
             rows_l = rows_l.at[k].set(rows)
             G = _interp_from_rows(qe, rows, r_new)
             new_cores[k] = G.reshape(R, n, R)
@@ -624,7 +661,7 @@ def make_fused_vi(
                 jnp.minimum(R, rr[k + 1] * n), row_mask, rr[k], frozen,
             )
             rows = _hysteresis_rows(qe, rows_r[k], r_new, rr[k],
-                                    carry.it, frozen)
+                                    carry.it < carry.warm_until, frozen)
             rows_r = rows_r.at[k].set(rows)
             G = _interp_from_rows(qe, rows, r_new)
             # core k: [c, i, b] = G[(i, b), c]
@@ -656,10 +693,45 @@ def make_fused_vi(
         # windowed long-baseline residual (robust to per-iteration pivot noise)
         at_boundary = jnp.mod(carry.it + 1, window) == 0
         long_new = jnp.max(jnp.abs(new_sample - carry.sample_ref)) / scale
-        improved = long_new < carry.long_res * 0.98
+        # improvement = beating the BEST window so far (monotone baseline):
+        # an oscillating churn floor (long_res bouncing 0.05 <-> 0.1) must
+        # count as stalled, not as improvement every other window — with the
+        # last-window baseline the stall patience never fired mid-churn and
+        # neither the freeze latch nor rank-cap growth could engage.
+        improved = long_new < carry.best_long * 0.98
+        best_long = jnp.where(
+            at_boundary, jnp.minimum(carry.best_long, long_new),
+            carry.best_long)
         wstall = jnp.where(
             at_boundary, jnp.where(improved, 0, carry.wstall + 1), carry.wstall
         )
+        # sticky freeze latch: engage after `freeze_after` stalled windows
+        # (adaptation plateaued); release on divergence under the freeze.
+        # Both transitions reset wstall so the new regime gets fresh
+        # stopping patience.
+        # Entry requires UNSATURATED ranks: at a saturated cap the pivots
+        # carry O(truncation) interpolation error and the frozen operator
+        # can have spectral radius > 1 (measured: freeze at saturated
+        # rmax=12 diverged res 0.05 -> 0.97 before the exit fired). The
+        # saturated-stall case is handled by rank-cap GROWTH in fused_tt_vi
+        # instead.
+        unsaturated = jnp.max(ranks_new) < R
+        enter_stall = (at_boundary & (~frozen_latch)
+                       & (wstall >= freeze_after) & unsaturated)
+        # (a residual-dip latch entry was tried and REVERTED: latching on
+        # transient dips destabilized configs the per-iteration gate
+        # handled — LQ rmax=10 went NaN, pendulum rmax=24 parity regressed;
+        # the transient gate plus the plateau latch below are sufficient)
+        enter = enter_stall
+        leave = (
+            at_boundary & frozen_latch
+            & (long_new > 2.0 * carry.freeze_mark)
+            & (long_new > freeze_res)
+        )
+        frozen_next = (frozen_latch | enter) & ~leave
+        freeze_mark = jnp.where(
+            enter, jnp.maximum(long_new, 1e-12), carry.freeze_mark)
+        wstall = jnp.where(enter | leave, 0, wstall)
         long_res = jnp.where(at_boundary, long_new, carry.long_res)
         sample_ref = jnp.where(at_boundary, new_sample, carry.sample_ref)
         if probe_rollouts > 0:
@@ -688,6 +760,8 @@ def make_fused_vi(
             long_res=long_res, wstall=wstall, v_sample=new_sample,
             sample_ref=sample_ref, probe_cost=probe_cost_out,
             best_cost=best_cost, cores_best=cores_best, ranks_best=ranks_best,
+            frozen=frozen_next, freeze_mark=freeze_mark,
+            best_long=best_long, warm_until=carry.warm_until,
         )
 
     def init_fn(key, v0: TT | None = None) -> FusedCarry:
@@ -721,6 +795,10 @@ def make_fused_vi(
             probe_cost=jnp.asarray(jnp.inf, dtype),
             best_cost=jnp.asarray(jnp.inf, dtype),
             cores_best=cores, ranks_best=ranks,
+            frozen=jnp.asarray(False),
+            freeze_mark=jnp.asarray(jnp.inf, dtype),
+            best_long=jnp.asarray(jnp.inf, dtype),
+            warm_until=jnp.asarray(60, jnp.int32),
         )
 
     def cond(c):
@@ -763,12 +841,54 @@ class FusedVISolution:
     probe_cost: float = float("inf")
 
 
+def pad_fused_carry(carry: FusedCarry, R_new: int,
+                    shape: tuple | None = None, seed: int = 999) -> FusedCarry:
+    """Pad a FusedCarry to a larger rank cap. Zero-padded cores keep the TT
+    products exact; the NEW index-set rows are filled with random node
+    indices (matching ``init_fn``) — rank growth happens through those
+    rows, and zero-filled ones would make every new fiber pass through
+    node 0, starving the kick/pivot machinery of diversity. Used by the
+    rank-cap growth schedule in ``fused_tt_vi``."""
+    R_old = carry.cores[0].shape[0]
+    if R_new == R_old:
+        return carry
+    assert R_new > R_old, (R_old, R_new)
+    dR = R_new - R_old
+    d = len(carry.cores)
+
+    def padcore(c):
+        return jnp.pad(c, ((0, dR), (0, 0), (0, dR)))
+
+    if shape is None:
+        shape = tuple(int(c.shape[1]) for c in carry.cores)
+    rng = np.random.default_rng(seed)
+    left = np.zeros((d + 1, R_new, d), np.int32)
+    right = np.zeros((d + 1, R_new, d), np.int32)
+    left[:, :R_old] = np.asarray(carry.left)
+    right[:, :R_old] = np.asarray(carry.right)
+    for k in range(1, d):
+        for j in range(k):
+            left[k, R_old:, j] = rng.integers(0, shape[j], size=dR)
+        for j in range(k, d):
+            right[k, R_old:, j] = rng.integers(0, shape[j], size=dR)
+
+    return carry._replace(
+        cores=tuple(padcore(c) for c in carry.cores),
+        cores_best=tuple(padcore(c) for c in carry.cores_best),
+        left=jnp.asarray(left),
+        right=jnp.asarray(right),
+        rows_l=jnp.pad(carry.rows_l, ((0, 0), (0, dR))),
+        rows_r=jnp.pad(carry.rows_r, ((0, 0), (0, dR))),
+    )
+
+
 def fused_tt_vi(
     problem: ControlProblem,
     grid: Grid,
     controls=None,
     n_controls: int = 9,
     rmax: int = 16,
+    rmax_max: int | None = None,
     key=None,
     tol: float = 1e-4,
     max_iters: int = 2000,
@@ -777,6 +897,7 @@ def fused_tt_vi(
     sample_size: int = 256,
     window: int = 50,
     patience: int = 6,
+    freeze_after: int = 2,
     probe_rollouts: int = 0,
     probe_steps: int = 200,
     probe_dt: float = 0.01,
@@ -805,22 +926,43 @@ def fused_tt_vi(
     one host sync per chunk — emitting per-chunk records (iteration,
     residual, long-window residual, active ranks, probe cost) and saving a
     resumable full-state checkpoint every ``checkpoint_every`` iterations.
-    ``resume_from`` restores a saved ``FusedCarry`` and continues."""
+    ``resume_from`` restores a saved ``FusedCarry`` and continues.
+
+    ``rmax_max``: enables RANK-CAP GROWTH (the reference's kick-rank
+    semantics — C3's cross grows ranks until the approximation stops
+    improving, SURVEY.md §2.2; the §7 plan: "re-jit only when r_max grows,
+    geometric schedule"). When a solve stalls with its active ranks
+    saturating the current cap, the solver rebuilds at
+    ``min(rmax_max, rmax + max(2*kick, 4))``, zero-pads the carry, and
+    continues — one recompile per growth step. Steps are small and
+    additive: caps far beyond the problem's epsilon-rank fit f32 noise
+    columns and churn as badly as starved ones."""
     if key is None:
         key = jax.random.key(0)
     if controls is None:
         controls = problem.control_candidates(n_controls)
-    solver = make_fused_vi(
-        problem, grid, controls, rmax=rmax, kick=kick, eps_rank=eps_rank,
-        tol=tol, max_iters=max_iters, sample_size=sample_size,
-        window=window, patience=patience, probe_rollouts=probe_rollouts,
-        probe_steps=probe_steps, probe_dt=probe_dt, dtype=dtype, mesh=mesh,
-        refine_steps=refine_steps, refine_method=refine_method,
-    )
+
+    def build(R):
+        return make_fused_vi(
+            problem, grid, controls, rmax=R, kick=kick, eps_rank=eps_rank,
+            tol=tol, max_iters=max_iters, sample_size=sample_size,
+            window=window, patience=patience, freeze_after=freeze_after,
+            probe_rollouts=probe_rollouts,
+            probe_steps=probe_steps, probe_dt=probe_dt, dtype=dtype,
+            mesh=mesh,
+            refine_steps=refine_steps, refine_method=refine_method,
+        )
+
+    cur_rmax = rmax
+    solver = build(cur_rmax)
     if resume_from is not None:
         from c3sc_tpu.utils.checkpoint import load_fused_carry
 
         carry = load_fused_carry(resume_from)
+        ck_R = carry.cores[0].shape[0]
+        if ck_R != cur_rmax:
+            cur_rmax = ck_R
+            solver = build(cur_rmax)
     if carry is None:
         carry = solver.init_fn(key, v0)
     else:
@@ -828,26 +970,34 @@ def fused_tt_vi(
         carry = carry._replace(
             wstall=jnp.zeros_like(carry.wstall),
             long_res=jnp.full_like(carry.long_res, jnp.inf),
+            best_long=jnp.full_like(carry.best_long, jnp.inf),
         )
     chunked = metrics is not None or checkpoint_path is not None or log_every > 0
-    t0 = time.time()
-    if not chunked:
-        out = solver.solve_fn(carry)
-        jax.block_until_ready(out.residual)
-    else:
+
+    def drive(solver, carry):
+        if not chunked:
+            out = solver.solve_fn(carry)
+            jax.block_until_ready(out.residual)
+            return out
         chunk = log_every if log_every > 0 else window
         out = carry
-        last_saved = int(out.it)
+        last_saved = int(jax.device_get(out.it))
         while True:
+            prev_it = int(jax.device_get(out.it))
             out = solver.run_fn(out, chunk)
             jax.block_until_ready(out.residual)
             it = int(out.it)
+            if it == prev_it:
+                # stopping condition already met on entry (incl. NaN
+                # residual, whose comparisons are all False) — done
+                break
             if metrics is not None:
                 rec = dict(
                     iter=it,
                     residual=float(out.residual),
                     long_res=float(out.long_res),
                     wstall=int(out.wstall),
+                    frozen=bool(out.frozen),
                     ranks=[int(r) for r in np.asarray(out.ranks)],
                 )
                 if probe_rollouts > 0:
@@ -869,10 +1019,57 @@ def fused_tt_vi(
             )
             if stop:
                 break
-        if checkpoint_path is not None:
-            from c3sc_tpu.utils.checkpoint import save_fused_carry
+        return out
 
-            save_fused_carry(checkpoint_path, out)
+    t0 = time.time()
+    best_out, best_metric = None, float("inf")
+    while True:
+        out = drive(solver, carry)
+        # stage quality = best windowed residual it reached (monotone)
+        metric = float(out.best_long)
+        improving = metric < 0.8 * best_metric
+        if best_out is None or metric < best_metric:
+            best_out, best_metric = out, min(metric, best_metric)
+        saturated = int(np.max(np.asarray(out.ranks))) >= cur_rmax
+        unconverged = (
+            float(out.residual) > tol and float(out.long_res) > tol
+            and int(out.it) < max_iters
+        )
+        if (rmax_max is not None and cur_rmax < rmax_max
+                and saturated and unconverged and improving):
+            # small additive steps: overshooting the problem's epsilon-
+            # rank is as bad as undershooting (caps beyond it fit f32
+            # noise columns and the pivot churn returns — measured on the
+            # 61^2 pendulum: rank 20 converges, rank 24 churns)
+            new_R = min(rmax_max, cur_rmax + max(2 * kick, 4))
+            if metrics is not None:
+                metrics.log("fused_rank_growth", rmax_from=cur_rmax,
+                            rmax_to=new_R, iter=int(out.it),
+                            residual=float(out.residual))
+            solver = build(new_R)
+            # fresh cross state, warm VALUE: carrying the churned pivot/
+            # index lineage into the grown cap measurably underperforms a
+            # fresh adaptation started from the current value (the padded
+            # carry kept stalling where fresh solves at the same cap
+            # converge); init_fn re-draws index sets and re-adapts within
+            # a few hundred iterations
+            padded = pad_fused_carry(out, new_R)
+            key, sk = jax.random.split(key)
+            carry = solver.init_fn(
+                sk, TT(padded.cores, padded.ranks))._replace(
+                it=out.it, warm_until=out.it + 60)
+            cur_rmax = new_R
+            continue
+        break
+    # a grown stage that failed to pay (best_long not improved 20%) means
+    # the cap overshot the problem's epsilon-rank — return the BEST stage's
+    # iterate, not the last one
+    if best_out is not None and float(best_out.best_long) < float(out.best_long):
+        out = best_out
+    if chunked and checkpoint_path is not None:
+        from c3sc_tpu.utils.checkpoint import save_fused_carry
+
+        save_fused_carry(checkpoint_path, out)
     wall = time.time() - t0
     # cores_best: probe-harvested best iterate when probing, else the last
     v = TT(out.cores_best, out.ranks_best)

@@ -42,7 +42,7 @@ def save_solver_state(path: str, v: TT, state: CrossState | None,
 _FUSED_SIMPLE_FIELDS = (
     "ranks", "left", "right", "rl", "rr", "rows_l", "rows_r", "it",
     "residual", "long_res", "wstall", "v_sample", "sample_ref",
-    "probe_cost", "best_cost", "ranks_best",
+    "probe_cost", "best_cost", "ranks_best", "frozen", "freeze_mark", "best_long", "warm_until",
 )
 
 

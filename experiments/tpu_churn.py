@@ -28,6 +28,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=41)
     ap.add_argument("--rmax", type=int, default=16)
+    ap.add_argument("--rmax-max", type=int, default=None)
     ap.add_argument("--tol", type=float, default=2e-4)
     ap.add_argument("--max-iters", type=int, default=2500)
     ap.add_argument("--patience", type=int, default=40)
@@ -43,6 +44,7 @@ def main():
     sol = fused_tt_vi(
         prob, grid, n_controls=9, rmax=args.rmax, key=jax.random.key(0),
         tol=args.tol, max_iters=args.max_iters, eps_rank=args.eps_rank,
+        rmax_max=args.rmax_max,
         patience=args.patience, metrics=metrics, log_every=50,
     )
     recs = [r for r in metrics.records if r["phase"] == "fused_vi"]

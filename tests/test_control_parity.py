@@ -21,7 +21,12 @@ def test_pendulum_control_sequence_parity():
     controls = prob.control_candidates(9)
 
     dense = dense_vi(prob, grid, controls=controls, tol=1e-5, max_outer=400, chunk=100)
-    sol = fused_tt_vi(prob, grid, controls=controls, rmax=24,
+    # rmax 16 = this problem's measured epsilon-rank: the solve converges
+    # to tol (1.6e-4, ~2200 iters). Caps ABOVE it (20, 24) fit f32 noise
+    # columns and churn at a 2-30% pivot-noise floor — the r1 version of
+    # this test used rmax=24 and passed only because the budget happened
+    # to run out on a good iterate (docs/DESIGN.md, rank-cap selection).
+    sol = fused_tt_vi(prob, grid, controls=controls, rmax=16,
                       key=jax.random.key(0), tol=2e-4, max_iters=2500,
                       eps_rank=1e-5, patience=40)
 
