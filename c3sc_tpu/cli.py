@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="fused")
     p.add_argument("--n-controls", type=int, default=9, help="candidates per control dim")
     p.add_argument("--rmax", type=int, default=16, help="TT rank cap")
+    p.add_argument("--rmax-max", type=int, default=None,
+                   help="fused solver: grow the rank cap up to this on a "
+                        "saturated stall (C3 kick-rank semantics)")
     p.add_argument("--tol", type=float, default=1e-4, help="VI residual tolerance")
     p.add_argument("--cross-tol", type=float, default=1e-4)
     p.add_argument("--cross-method", choices=["cross", "dmrg"], default="cross",
@@ -102,6 +105,7 @@ def main(argv=None):
             for drop in ("cross_tol", "verbose"):
                 fkw.pop(drop, None)
             sol = fused_tt_vi(prob, grid, max_iters=args.max_iters,
+                              rmax_max=args.rmax_max,
                               probe_rollouts=args.probe, probe_dt=args.dt,
                               checkpoint_path=os.path.join(outdir, "solver_state.npz"),
                               checkpoint_every=args.save_every,

@@ -171,6 +171,13 @@ def _interp_from_rows(qe, rows, r_new):
     A small scaled ridge keeps the solve finite when the pivot submatrix is
     (near-)singular — a transiently bad pivot then yields a poor but FINITE
     core instead of NaN-poisoning the whole while_loop state.
+
+    (Clipping G's entries was tried as an overflow guard and REVERTED at
+    both +-16 and +-128: transiently singular pivot sets legitimately emit
+    large-|G| cores that the next sweep re-fits, and clipping them
+    degraded LQ's fixed point 1e-4 -> 1e-2. Overflow/NaN protection lives
+    at the fitting boundary instead — see the nan_to_num in
+    ``_eval_fibers``.)
     """
     R = qe.shape[1]
     col = jnp.arange(R)
@@ -570,6 +577,20 @@ def make_fused_vi(
             val = jnp.clip(val, vb[0], vb[1])
         tm, tv = mca.node_terminal(problem, grid, flat_idx, x)
         val = jnp.where(tm, tv.astype(dtype), val)
+        # finite-state guarantee: a transiently singular pivot set emits a
+        # huge-|G| core whose d-fold chain products overflow f32 to inf,
+        # and inf - inf / 0 * inf in the next einsum turns NaN; value
+        # clamping cannot catch it (clip(NaN) = NaN). Scrubbing HERE — at
+        # the fitting boundary — is the one guarantee the while_loop state
+        # stays finite: a scrubbed fiber value is just one bad sample the
+        # next sweep re-fits (measured: 6D quadcopter 17^6 rmax=16 NaN-
+        # poisoned at it 88 without this; LQ/pendulum trajectories are
+        # untouched since the scrub is the identity on finite values)
+        # 1e12 (not bigger): the fitting QR squares column entries — a
+        # 1e20 replacement overflows the f32 norm computation itself
+        val = jnp.nan_to_num(val, nan=0.0,
+                             posinf=vb[1] if vb is not None else 1e12,
+                             neginf=vb[0] if vb is not None else -1e12)
         return val.astype(dtype).reshape(R, n, R)
 
     def body(carry: FusedCarry) -> FusedCarry:
@@ -688,6 +709,18 @@ def make_fused_vi(
 
         v_new = TT(tuple(new_cores), ranks_new)
         new_sample = tt_gather_eval(v_new, sample_idx)
+        # a transiently singular pivot set emits a huge-|G| core; its chain
+        # products can overflow the SAMPLED values to inf and the residual
+        # to inf/inf = NaN, which halts the while_loop (NaN compares
+        # False). The fitted fiber values are already scrubbed; the sample
+        # vector needs the same guarantee. (Clipping G itself was tried
+        # and degraded healthy solves — see _interp_from_rows.)
+        new_sample = jnp.nan_to_num(
+            new_sample,
+            nan=0.0,
+            posinf=vb[1] if vb is not None else 1e12,
+            neginf=vb[0] if vb is not None else -1e12,
+        )
         scale = jnp.maximum(jnp.max(jnp.abs(new_sample)), 1e-12)
         residual = jnp.max(jnp.abs(new_sample - carry.v_sample)) / scale
         # windowed long-baseline residual (robust to per-iteration pivot noise)
