@@ -70,7 +70,17 @@ def measure_fused_rate(reps: int = 200, warmup: int = 30):
         sum(rl[k] * n[k] * rr[k + 1] for k in range(d))
         + sum(rl[k] * n[k] * rr[k + 1] for k in range(d))
     )
-    return per_iter * reps / (t1 - t0)
+    # warm MPC replan latency = one refine-iteration dispatch on the same
+    # solver state (sim/mpc_fused.py refine_iters=3 per replan cycle);
+    # BASELINE.md "replanning latency" row
+    lat = []
+    for _ in range(5):
+        t2 = time.perf_counter()
+        carry = step_fn(carry, 3)
+        jax.block_until_ready(carry.residual)
+        lat.append(time.perf_counter() - t2)
+    replan_ms = 1e3 * float(np.median(lat))
+    return per_iter * reps / (t1 - t0), replan_ms
 
 
 def _cpu_core_rate() -> float | None:
@@ -102,7 +112,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        rate = measure_fused_rate(reps=15, warmup=10)
+        rate, _ = measure_fused_rate(reps=15, warmup=10)
         print(json.dumps({"metric": "cpu1core_backups_per_s", "value": rate}))
         return
 
@@ -110,13 +120,14 @@ def main():
 
     enable_compile_cache()
 
-    backups_per_s = measure_fused_rate()
+    backups_per_s, replan_ms = measure_fused_rate()
     vs = backups_per_s / (C_REFERENCE_BACKUPS_PER_S * TARGET_MULTIPLIER)
     record = {
         "metric": "bellman_backups_per_s_per_chip",
         "value": round(backups_per_s, 1),
         "unit": "backups/s",
         "vs_baseline": round(vs, 3),
+        "mpc_replan_ms": round(replan_ms, 2),
     }
     if os.environ.get("C3SC_BENCH_SKIP_CPU") != "1":
         core = _cpu_core_rate()
