@@ -118,6 +118,24 @@ def rollout(
             k3 = drift_b(x + 0.5 * dtf * k2, u)
             k4 = drift_b(x + dtf * k3, u)
             xn = x + (dtf / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        elif method == "rkf45":
+            # Runge-Kutta-Fehlberg 4(5), fixed step, 5th-order solution
+            # (reference integrator_set_type parity, SURVEY.md §2.1 L6;
+            # the adaptive step-size control stays host-side — inside
+            # lax.scan the step is fixed by construction)
+            k1 = drift_b(x, u)
+            k2 = drift_b(x + dtf * (k1 / 4.0), u)
+            k3 = drift_b(x + dtf * (3 * k1 + 9 * k2) / 32.0, u)
+            k4 = drift_b(
+                x + dtf * (1932 * k1 - 7200 * k2 + 7296 * k3) / 2197.0, u)
+            k5 = drift_b(
+                x + dtf * (439 * k1 / 216 - 8 * k2 + 3680 * k3 / 513
+                           - 845 * k4 / 4104), u)
+            k6 = drift_b(
+                x + dtf * (-8 * k1 / 27 + 2 * k2 - 3544 * k3 / 2565
+                           + 1859 * k4 / 4104 - 11 * k5 / 40), u)
+            xn = x + dtf * (16 * k1 / 135 + 6656 * k3 / 12825
+                            + 28561 * k4 / 56430 - 9 * k5 / 50 + 2 * k6 / 55)
         elif method == "euler":
             xn = x + drift_b(x, u) * dtf
         else:  # euler_maruyama

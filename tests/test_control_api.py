@@ -73,3 +73,33 @@ def test_rk4_and_euler_deterministic():
     np.testing.assert_allclose(
         np.asarray(tr_eul.xs[-1]), np.asarray(tr_rk4.xs[-1]), atol=0.05
     )
+    # rkf45 (5th-order Fehlberg): matches rk4 to tighter tolerance on the
+    # polynomial-exact LQ dynamics
+    tr_f45 = rollout(prob, grid, pol, x0, jax.random.key(2), dt=0.1,
+                     n_steps=10, method="rkf45")
+    np.testing.assert_allclose(float(tr_f45.xs[-1, 0, 1]), 0.5 * t, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tr_f45.xs[-1]), np.asarray(tr_rk4.xs[-1]), atol=1e-4
+    )
+
+
+def test_builder_policy_poly_basis():
+    """implicit_policy(basis='poly') — the polynomial-core FT upgrade —
+    produces controls close to the linelm policy on smooth LQ (identical
+    away from cell boundaries, where the smooth interpolant is strictly
+    better)."""
+    import jax.numpy as jnp
+
+    ctrl = build_lq()
+    sol = ctrl.vi_solve(ngrid=21, rmax=8, n_controls=9, tol=2e-4,
+                        max_iters=800, key=jax.random.key(0))
+    pol_lin = ctrl.implicit_policy(sol, n_controls=9)
+    pol_fts = ctrl.implicit_policy(sol, n_controls=9, basis="poly")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1.5, 1.5, (256, 2)), jnp.float32)
+    u_lin = np.asarray(pol_lin(x))
+    u_fts = np.asarray(pol_fts(x))
+    assert np.all(np.isfinite(u_fts))
+    # same candidate at >= 80% of states (near-ties at cell faces differ)
+    agree = (np.abs(u_lin - u_fts) < 1e-6).all(axis=-1).mean()
+    assert agree > 0.8, agree

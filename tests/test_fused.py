@@ -132,3 +132,23 @@ def test_fused_metrics_stream(tmp_path):
     # chunked driving preserves the solve: same stopping semantics
     assert sol.residual <= 2e-4 or sol.iterations == 400 or \
         float(sol.carry.wstall) >= 6 or float(sol.carry.long_res) <= 2e-4
+
+
+def test_fused_rank_cap_growth_converges():
+    """rmax_max growth (C3 kick-rank semantics beyond the static cap):
+    a deliberately starved cap stalls; with growth enabled the solver
+    rebuilds at a larger cap with a fresh cross state and converges
+    (docs/DESIGN.md, rank-cap selection)."""
+    prob = make_pendulum_problem(beta=0.5, sigma=0.5)
+    grid = prob.default_grid(31)
+    controls = prob.control_candidates(9)
+    starved = fused_tt_vi(prob, grid, controls=controls, rmax=4,
+                          key=jax.random.key(0), tol=2e-4, max_iters=1500,
+                          patience=6)
+    grown = fused_tt_vi(prob, grid, controls=controls, rmax=4, rmax_max=16,
+                        key=jax.random.key(0), tol=2e-4, max_iters=3000,
+                        patience=6)
+    assert int(np.asarray(grown.v.ranks).max()) > 4  # the cap actually grew
+    assert grown.residual < 0.5 * max(starved.residual, 1e-12), (
+        starved.residual, grown.residual)
+    assert grown.residual < 5e-3
