@@ -85,16 +85,16 @@ def measure_fused_rate(reps: int = 200, warmup: int = 30):
 
 def _cpu_core_rate() -> float | None:
     """Measure this repo's own rate pinned to one CPU core (subprocess)."""
+    if not shutil.which("taskset"):
+        # no real core pinning available -> an unpinned run would inflate
+        # the "single core" rate and falsify vs_own_cpu_core; skip instead
+        print("bench: taskset unavailable, skipping cpu-core baseline",
+              file=sys.stderr)
+        return None
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["C3SC_BENCH_MODE"] = "cpu1core"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "")
-        + " --xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
-    ).strip()
-    cmd = [sys.executable, os.path.abspath(__file__)]
-    if shutil.which("taskset"):
-        cmd = ["taskset", "-c", "0"] + cmd
+    cmd = ["taskset", "-c", "0", sys.executable, os.path.abspath(__file__)]
     try:
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, timeout=1200
@@ -102,8 +102,10 @@ def _cpu_core_rate() -> float | None:
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 return float(json.loads(line)["value"])
-    except Exception:
-        pass
+        print(f"bench: cpu-core subprocess produced no metric "
+              f"(rc={out.returncode}):\n{out.stderr[-2000:]}", file=sys.stderr)
+    except Exception as e:
+        print(f"bench: cpu-core subprocess failed: {e}", file=sys.stderr)
     return None
 
 

@@ -104,12 +104,25 @@ def main(argv=None):
             fkw = dict(common)
             for drop in ("cross_tol", "verbose"):
                 fkw.pop(drop, None)
+            # --load accepts either a full fused checkpoint
+            # (solver_state.npz -> resume mid-VI) or a plain value file
+            # (vf.npz -> warm-start v0)
+            resume_from, v0 = None, None
+            if args.load:
+                from c3sc_tpu.utils.checkpoint import is_fused_checkpoint
+
+                if is_fused_checkpoint(args.load):
+                    resume_from = args.load
+                else:
+                    from c3sc_tpu.utils import load_solver_state
+
+                    v0 = load_solver_state(args.load)["v"]
             sol = fused_tt_vi(prob, grid, max_iters=args.max_iters,
                               rmax_max=args.rmax_max,
                               probe_rollouts=args.probe, probe_dt=args.dt,
                               checkpoint_path=os.path.join(outdir, "solver_state.npz"),
                               checkpoint_every=args.save_every,
-                              resume_from=args.load,
+                              resume_from=resume_from, v0=v0,
                               **fkw)
             save_solver_state(ckpt, sol.v, None, sol.iterations)
             summary = dict(solver="fused", residual=float(sol.residual),

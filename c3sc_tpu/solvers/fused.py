@@ -874,42 +874,26 @@ class FusedVISolution:
     probe_cost: float = float("inf")
 
 
-def pad_fused_carry(carry: FusedCarry, R_new: int,
-                    shape: tuple | None = None, seed: int = 999) -> FusedCarry:
-    """Pad a FusedCarry to a larger rank cap. Zero-padded cores keep the TT
-    products exact; the NEW index-set rows are filled with random node
-    indices (matching ``init_fn``) — rank growth happens through those
-    rows, and zero-filled ones would make every new fiber pass through
-    node 0, starving the kick/pivot machinery of diversity. Used by the
-    rank-cap growth schedule in ``fused_tt_vi``."""
+def pad_fused_carry(carry: FusedCarry, R_new: int) -> FusedCarry:
+    """Zero-pad a FusedCarry to a larger rank cap (cores keep the padded-
+    zero invariant, so TT products are unchanged; index sets and pivot rows
+    pad with zeros — callers that continue adaptation at the new cap,
+    i.e. the growth path in ``fused_tt_vi``, re-draw them via ``init_fn``
+    anyway, and masked rows are inert)."""
     R_old = carry.cores[0].shape[0]
     if R_new == R_old:
         return carry
     assert R_new > R_old, (R_old, R_new)
     dR = R_new - R_old
-    d = len(carry.cores)
 
     def padcore(c):
         return jnp.pad(c, ((0, dR), (0, 0), (0, dR)))
 
-    if shape is None:
-        shape = tuple(int(c.shape[1]) for c in carry.cores)
-    rng = np.random.default_rng(seed)
-    left = np.zeros((d + 1, R_new, d), np.int32)
-    right = np.zeros((d + 1, R_new, d), np.int32)
-    left[:, :R_old] = np.asarray(carry.left)
-    right[:, :R_old] = np.asarray(carry.right)
-    for k in range(1, d):
-        for j in range(k):
-            left[k, R_old:, j] = rng.integers(0, shape[j], size=dR)
-        for j in range(k, d):
-            right[k, R_old:, j] = rng.integers(0, shape[j], size=dR)
-
     return carry._replace(
         cores=tuple(padcore(c) for c in carry.cores),
         cores_best=tuple(padcore(c) for c in carry.cores_best),
-        left=jnp.asarray(left),
-        right=jnp.asarray(right),
+        left=jnp.pad(carry.left, ((0, 0), (0, dR), (0, 0))),
+        right=jnp.pad(carry.right, ((0, 0), (0, dR), (0, 0))),
         rows_l=jnp.pad(carry.rows_l, ((0, 0), (0, dR))),
         rows_r=jnp.pad(carry.rows_r, ((0, 0), (0, dR))),
     )
@@ -1056,8 +1040,14 @@ def fused_tt_vi(
 
     t0 = time.time()
     best_out, best_metric = None, float("inf")
+    # cross-stage probe harvest: the best-by-realized-cost iterate must
+    # survive growth (each stage's init_fn resets best_cost/cores_best)
+    gbest_cost, gbest_cores, gbest_ranks = float("inf"), None, None
     while True:
         out = drive(solver, carry)
+        if probe_rollouts > 0 and float(out.best_cost) < gbest_cost:
+            gbest_cost = float(out.best_cost)
+            gbest_cores, gbest_ranks = out.cores_best, out.ranks_best
         # stage quality = best windowed residual it reached (monotone)
         metric = float(out.best_long)
         improving = metric < 0.8 * best_metric
@@ -1094,15 +1084,31 @@ def fused_tt_vi(
             cur_rmax = new_R
             continue
         break
+    # the on-disk resumable state must reflect the LATEST progress, not the
+    # returned (possibly earlier best) stage — save before any rollback
+    if chunked and checkpoint_path is not None:
+        from c3sc_tpu.utils.checkpoint import save_fused_carry
+
+        save_fused_carry(checkpoint_path, out)
     # a grown stage that failed to pay (best_long not improved 20%) means
     # the cap overshot the problem's epsilon-rank — return the BEST stage's
     # iterate, not the last one
     if best_out is not None and float(best_out.best_long) < float(out.best_long):
         out = best_out
-    if chunked and checkpoint_path is not None:
-        from c3sc_tpu.utils.checkpoint import save_fused_carry
-
-        save_fused_carry(checkpoint_path, out)
+    # re-attach the cross-stage probe harvest (pad to the returned cap)
+    if probe_rollouts > 0 and gbest_cores is not None and (
+        gbest_cost < float(out.best_cost)
+    ):
+        R_out = out.cores[0].shape[0]
+        R_g = gbest_cores[0].shape[0]
+        if R_g < R_out:
+            dR = R_out - R_g
+            gbest_cores = tuple(
+                jnp.pad(c, ((0, dR), (0, 0), (0, dR))) for c in gbest_cores)
+        out = out._replace(
+            best_cost=jnp.asarray(gbest_cost, out.best_cost.dtype),
+            cores_best=gbest_cores, ranks_best=gbest_ranks,
+        )
     wall = time.time() - t0
     # cores_best: probe-harvested best iterate when probing, else the last
     v = TT(out.cores_best, out.ranks_best)

@@ -72,13 +72,27 @@ def save_fused_carry(path: str, carry) -> None:
     os.replace(tmp, _npz(path))
 
 
+def is_fused_checkpoint(path: str) -> bool:
+    """True iff the npz at path was written by ``save_fused_carry``."""
+    try:
+        data = np.load(_npz(path))
+        meta = json.loads(bytes(data["meta"]).decode())
+        return meta.get("kind") == "fused_carry"
+    except Exception:
+        return False
+
+
 def load_fused_carry(path: str):
     """Restore a ``FusedCarry`` saved by ``save_fused_carry``."""
     from c3sc_tpu.solvers.fused import FusedCarry
 
     data = np.load(_npz(path))
     meta = json.loads(bytes(data["meta"]).decode())
-    assert meta.get("kind") == "fused_carry", f"not a fused checkpoint: {path}"
+    if meta.get("kind") != "fused_carry":
+        raise ValueError(
+            f"{path} is not a fused solver checkpoint (kind="
+            f"{meta.get('kind')!r}); pass a solver_state.npz written by "
+            "save_fused_carry, or load it as a plain value function")
     d = meta["d"]
     kw = {name: jnp.asarray(data[name]) for name in _FUSED_SIMPLE_FIELDS}
     return FusedCarry(

@@ -23,11 +23,21 @@ class MetricsLogger:
         self._t0 = time.time()
         self._fh = open(path, "a") if path else None
 
+    @staticmethod
+    def _jsonsafe(v):
+        # strict-JSON consumers (jq, JSON.parse, pandas) reject the bare
+        # Infinity/NaN tokens Python's json emits — map non-finite floats
+        # to null in the on-disk stream (in-memory records keep the floats)
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            return None
+        return v
+
     def log(self, phase: str, **fields) -> dict:
         rec = {"t": round(time.time() - self._t0, 4), "phase": phase, **fields}
         self.records.append(rec)
         if self._fh:
-            self._fh.write(json.dumps(rec) + "\n")
+            safe = {k: self._jsonsafe(v) for k, v in rec.items()}
+            self._fh.write(json.dumps(safe) + "\n")
             self._fh.flush()
         if self.echo:
             print(json.dumps(rec))
