@@ -918,6 +918,7 @@ def fused_tt_vi(
     probe_rollouts: int = 0,
     probe_steps: int = 200,
     probe_dt: float = 0.01,
+    probe_x0=None,
     dtype=jnp.float32,
     v0: TT | None = None,
     carry: FusedCarry | None = None,
@@ -965,8 +966,8 @@ def fused_tt_vi(
             tol=tol, max_iters=max_iters, sample_size=sample_size,
             window=window, patience=patience, freeze_after=freeze_after,
             probe_rollouts=probe_rollouts,
-            probe_steps=probe_steps, probe_dt=probe_dt, dtype=dtype,
-            mesh=mesh,
+            probe_steps=probe_steps, probe_dt=probe_dt, probe_x0=probe_x0,
+            dtype=dtype, mesh=mesh,
             refine_steps=refine_steps, refine_method=refine_method,
         )
 
