@@ -22,7 +22,7 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="c3sc_tpu", description=__doc__)
-    p.add_argument("system", choices=["lq", "pendulum", "dubins", "glider", "quadcopter"])
+    p.add_argument("system", choices=["lq", "pendulum", "dubins", "glider", "quadcopter", "quadcopter7"])
     p.add_argument("--n", type=int, default=41, help="grid nodes per dim")
     p.add_argument("--solver", choices=["dense", "tt", "pi", "fused"],
                    default="fused")

@@ -9,7 +9,8 @@ from c3sc_tpu.models.lq import make_lq_problem, lqr_solution
 from c3sc_tpu.models.pendulum import make_pendulum_problem
 from c3sc_tpu.models.dubins import make_dubins_problem
 from c3sc_tpu.models.glider import make_glider_problem
-from c3sc_tpu.models.quadcopter import make_quadcopter_problem
+from c3sc_tpu.models.quadcopter import (make_quadcopter7_problem,
+                                         make_quadcopter_problem)
 
 REGISTRY = {
     "lq": make_lq_problem,
@@ -17,6 +18,7 @@ REGISTRY = {
     "dubins": make_dubins_problem,
     "glider": make_glider_problem,
     "quadcopter": make_quadcopter_problem,
+    "quadcopter7": make_quadcopter7_problem,
 }
 
 
@@ -37,4 +39,5 @@ __all__ = [
     "make_dubins_problem",
     "make_glider_problem",
     "make_quadcopter_problem",
+    "make_quadcopter7_problem",
 ]

@@ -130,3 +130,72 @@ def _g_sup(w_pos, w_th, w_vel, w_om, w_u, pos_max, th_max, vel_max, om_max,
         w_pos * 2 * pos_max**2 + w_th * th_max**2 + w_vel * 2 * vel_max**2
         + w_om * om_max**2 + w_u * 2 * max(hover, u_max - hover) ** 2
     )
+
+
+def make_quadcopter7_problem(
+    wind_tau: float = 2.0,
+    wind_sigma: float = 0.6,
+    wind_max: float = 1.5,
+    **kwargs,
+) -> ControlProblem:
+    """7D quadcopter: the 6D planar quadrotor + an Ornstein-Uhlenbeck wind
+    state w acting on horizontal acceleration.
+
+    Reference: BASELINE.json configs[4] / SURVEY.md §0 describe the
+    flagship as "quadcopter (6-7D)"; this is the 7D variant — the wind is
+    an exogenous colored disturbance the controller must lean against:
+
+        vx' += w          (wind drag acceleration)
+        w'   = -w / tau + sigma_w dW
+
+    State (x, z, th, vx, vz, om, w), controls unchanged (2 rotor thrusts).
+    Control-affine structure and separable costs are preserved, so the
+    MCA fast paths stay active.
+    """
+    base = make_quadcopter_problem(**kwargs)
+    b_drift, b_f0, b_G = base.drift, base.drift_f0, base.drift_G
+    b_s2, b_cost_q = base.sigma2_x, base.cost_q
+
+    def drift(x, u):
+        f6 = b_drift(x[:6], u)
+        return jnp.concatenate([
+            f6.at[3].add(x[6]),                       # wind pushes vx
+            jnp.stack([-x[6] / wind_tau]),
+        ])
+
+    def diff(x, u):
+        L6 = base.diff(x[:6], u)                      # [6, 3]
+        L = jnp.zeros((7, 4), L6.dtype)
+        L = L.at[:6, :3].set(L6)
+        return L.at[6, 3].set(wind_sigma)
+
+    def drift_f0(x):
+        f6 = b_f0(x[:6])
+        return jnp.concatenate([
+            f6.at[3].add(x[6]),
+            jnp.stack([-x[6] / wind_tau]),
+        ])
+
+    def drift_G(x):
+        G6 = b_G(x[:6])                               # [6, 2]
+        return jnp.concatenate([G6, jnp.zeros((1, 2), G6.dtype)], axis=0)
+
+    def sigma2_x(x):
+        return jnp.concatenate([b_s2(x[:6]), jnp.array([wind_sigma**2])])
+
+    def cost_q(x):
+        return b_cost_q(x[:6])                        # wind itself is free
+
+    return ControlProblem(
+        dx=7, du=2, dw=4,
+        lb=base.lb + (-wind_max,), ub=base.ub + (wind_max,),
+        boundary=base.boundary + (Boundary.REFLECT,),
+        ulb=base.ulb, uub=base.uub,
+        drift=drift, diff=diff,
+        stage_cost=lambda x, u: base.stage_cost(x[:6], u),
+        boundary_cost=lambda x: base.boundary_cost(x[:6]),
+        drift_f0=drift_f0, drift_G=drift_G, sigma2_x=sigma2_x,
+        cost_q=cost_q, cost_r=base.cost_r,
+        beta=base.beta, name="quadcopter7",
+        value_bounds=base.value_bounds,
+    )

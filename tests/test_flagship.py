@@ -49,3 +49,30 @@ def test_glider_4d_smoke():
     v = np.asarray(tt_gather_eval(sol.v, idx))
     assert np.all(np.isfinite(v))
     assert np.asarray(sol.v.ranks).max() > 1
+
+
+def test_quadcopter_7d_smoke():
+    """7D flagship variant (BASELINE 'quadcopter (6-7D)'): 6D quadrotor +
+    OU wind state. Solver adapts ranks, yields a finite value and a
+    policy that keeps most trajectories inside the box."""
+    from c3sc_tpu.models import make_quadcopter7_problem
+
+    prob = make_quadcopter7_problem(sigma_v=0.15, sigma_om=0.15)
+    assert prob.dx == 7 and prob.dw == 4
+    grid = prob.default_grid(7)
+    controls = prob.control_candidates(3)
+    sol = fused_tt_vi(
+        prob, grid, controls=controls, rmax=6, key=jax.random.key(0),
+        tol=1e-3, max_iters=150, patience=60,
+    )
+    rng = np.random.default_rng(2)
+    idx = jnp.asarray(np.stack([rng.integers(0, n, 128) for n in grid.shape], -1), jnp.int32)
+    v = np.asarray(tt_gather_eval(sol.v, idx))
+    assert np.all(np.isfinite(v))
+    assert np.asarray(sol.v.ranks).max() > 1
+    policy = make_implicit_policy(
+        prob, grid, lambda p: tt_lerp_eval(sol.v, grid, p), controls
+    )
+    x0 = jnp.tile(jnp.zeros(7), (8, 1))
+    traj = rollout(prob, grid, policy, x0, jax.random.key(1), dt=0.01, n_steps=100)
+    assert np.asarray(traj.alive[-1]).mean() > 0.5

@@ -152,3 +152,24 @@ def test_fused_rank_cap_growth_converges():
     assert grown.residual < 0.5 * max(starved.residual, 1e-12), (
         starved.residual, grown.residual)
     assert grown.residual < 5e-3
+
+
+def test_fused_probe_harvest_validation():
+    """probe_rollouts > 0: the returned iterate's probe_cost comes from a
+    FRESH-seed validation probe over {harvested, final} — an unbiased
+    estimate, guarding against the in-loop selection's winner's curse
+    (docs/DESIGN.md)."""
+    from c3sc_tpu.utils import MetricsLogger
+
+    prob = make_lq_problem(sigma=1.0, beta=1.0)
+    grid = prob.default_grid(21)
+    m = MetricsLogger()
+    sol = fused_tt_vi(prob, grid, n_controls=9, rmax=8,
+                      key=jax.random.key(0), tol=2e-4, max_iters=400,
+                      probe_rollouts=8, probe_steps=60, metrics=m,
+                      log_every=100)
+    assert np.isfinite(sol.probe_cost)
+    vp = [r for r in m.records if r["phase"] == "fused_validation_probe"]
+    assert len(vp) == 1
+    assert sol.probe_cost == pytest.approx(
+        min(vp[0]["harvested"], vp[0]["final"]), rel=1e-6)
