@@ -35,7 +35,8 @@ C_REFERENCE_BACKUPS_PER_S = 40_000.0  # estimated single-core C rate (see above)
 TARGET_MULTIPLIER = 10.0
 
 
-def measure_fused_rate(reps: int = 200, warmup: int = 30):
+def measure_fused_rate(reps: int = 200, warmup: int = 30,
+                       measure_replan: bool = True):
     """Steady-state fused-sweep backup rate on the default backend."""
     import jax
 
@@ -72,14 +73,18 @@ def measure_fused_rate(reps: int = 200, warmup: int = 30):
     )
     # warm MPC replan latency = one refine-iteration dispatch on the same
     # solver state (sim/mpc_fused.py refine_iters=3 per replan cycle);
-    # BASELINE.md "replanning latency" row
-    lat = []
-    for _ in range(5):
-        t2 = time.perf_counter()
-        carry = step_fn(carry, 3)
-        jax.block_until_ready(carry.residual)
-        lat.append(time.perf_counter() - t2)
-    replan_ms = 1e3 * float(np.median(lat))
+    # BASELINE.md "replanning latency" row. Skipped in the cpu1core
+    # subprocess (its caller discards it and the 15 extra iterations
+    # double that slowest path).
+    replan_ms = float("nan")
+    if measure_replan:
+        lat = []
+        for _ in range(5):
+            t2 = time.perf_counter()
+            carry = step_fn(carry, 3)
+            jax.block_until_ready(carry.residual)
+            lat.append(time.perf_counter() - t2)
+        replan_ms = 1e3 * float(np.median(lat))
     return per_iter * reps / (t1 - t0), replan_ms
 
 
@@ -114,7 +119,8 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        rate, _ = measure_fused_rate(reps=15, warmup=10)
+        rate, _ = measure_fused_rate(reps=15, warmup=10,
+                                     measure_replan=False)
         print(json.dumps({"metric": "cpu1core_backups_per_s", "value": rate}))
         return
 

@@ -982,6 +982,20 @@ def fused_tt_vi(
             cur_rmax = ck_R
             solver = build(cur_rmax)
     if carry is None:
+        if v0 is not None:
+            from c3sc_tpu.ops.tt import _concrete_ranks, _repad
+
+            R_v0 = v0.cores[0].shape[0]
+            if R_v0 != cur_rmax:
+                # warm-start values may come from a run at a different cap
+                # (CLI --load vf.npz); normalize the static padding. Down-
+                # padding is lossless only if the active ranks fit.
+                cr = _concrete_ranks(v0)
+                if R_v0 > cur_rmax and cr is not None and cr.max() > cur_rmax:
+                    raise ValueError(
+                        f"v0 has active ranks up to {int(cr.max())} but "
+                        f"rmax={cur_rmax}; raise rmax (or rmax_max)")
+                v0 = _repad(v0, cur_rmax)
         carry = solver.init_fn(key, v0)
     else:
         # fresh stopping state for the warm restart
@@ -1100,12 +1114,18 @@ def fused_tt_vi(
     if probe_rollouts > 0 and gbest_cores is not None and (
         gbest_cost < float(out.best_cost)
     ):
+        from c3sc_tpu.ops.tt import _repad
+
         R_out = out.cores[0].shape[0]
         R_g = gbest_cores[0].shape[0]
-        if R_g < R_out:
-            dR = R_out - R_g
-            gbest_cores = tuple(
-                jnp.pad(c, ((0, dR), (0, 0), (0, dR))) for c in gbest_cores)
+        if R_g > R_out:
+            # harvest came from a LARGER-cap stage than the rolled-back
+            # best stage: pad the whole carry up so cores/cores_best stay
+            # consistent (a mixed-padding carry fails at trace on resume)
+            out = pad_fused_carry(out, R_g)
+        elif R_g < R_out:
+            gbest = _repad(TT(gbest_cores, gbest_ranks), R_out)
+            gbest_cores = gbest.cores
         out = out._replace(
             best_cost=jnp.asarray(gbest_cost, out.best_cost.dtype),
             cores_best=gbest_cores, ranks_best=gbest_ranks,
@@ -1127,18 +1147,23 @@ def fused_tt_vi(
         from c3sc_tpu.sim.integrators import rollout as _roll
         from c3sc_tpu.sim.policy import make_implicit_policy as _mip
 
+        # seed MUST differ from the in-loop probe's (4242): with the same
+        # seed the first probe_rollouts validation states are byte-
+        # identical to the selection batch and the winner's curse leaks
+        # straight back into the "unbiased" estimate
+        vrng = np.random.default_rng(987654321)
+        lbn, ubn = np.asarray(problem.lb), np.asarray(problem.ub)
         if probe_x0 is None:
-            vrng = np.random.default_rng(4242)
-            lbn, ubn = np.asarray(problem.lb), np.asarray(problem.ub)
             mid, span = (lbn + ubn) / 2, (ubn - lbn) / 2
             vx0 = mid + 0.5 * span * vrng.uniform(
                 -1, 1, (4 * probe_rollouts, problem.dx))
         else:
-            vrng = np.random.default_rng(4242)
             px = np.asarray(probe_x0)
             vx0 = px[vrng.integers(0, px.shape[0], 4 * probe_rollouts)]
-            vx0 = vx0 + 0.05 * (np.asarray(problem.ub) - np.asarray(problem.lb)
-                                ) * vrng.uniform(-1, 1, vx0.shape)
+            vx0 = vx0 + 0.05 * (ubn - lbn) * vrng.uniform(-1, 1, vx0.shape)
+        # keep validation starts inside the box: a jittered point past an
+        # ABSORB face dies at step 0 and charges a spurious exit cost
+        vx0 = np.clip(vx0, lbn, ubn)
         vx0 = jnp.asarray(vx0, dtype)
         vkey = jax.random.key(271828)
 

@@ -23,24 +23,31 @@ class MetricsLogger:
         self._t0 = time.time()
         self._fh = open(path, "a") if path else None
 
-    @staticmethod
-    def _jsonsafe(v):
+    @classmethod
+    def _jsonsafe(cls, v):
         # strict-JSON consumers (jq, JSON.parse, pandas) reject the bare
         # Infinity/NaN tokens Python's json emits — map non-finite floats
-        # to null in the on-disk stream (in-memory records keep the floats)
+        # to null in every serialized output (on-disk stream AND echo;
+        # in-memory records keep the floats). Recurses into containers.
         if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
             return None
+        if isinstance(v, dict):
+            return {k: cls._jsonsafe(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [cls._jsonsafe(x) for x in v]
         return v
 
     def log(self, phase: str, **fields) -> dict:
         rec = {"t": round(time.time() - self._t0, 4), "phase": phase, **fields}
         self.records.append(rec)
-        if self._fh:
+        safe = None
+        if self._fh or self.echo:
             safe = {k: self._jsonsafe(v) for k, v in rec.items()}
+        if self._fh:
             self._fh.write(json.dumps(safe) + "\n")
             self._fh.flush()
         if self.echo:
-            print(json.dumps(rec))
+            print(json.dumps(safe))
         return rec
 
     def close(self):

@@ -132,7 +132,8 @@ def main():
             "note": "near-optimal degeneracy: flat Q over (u1,u2) splits",
         },
         "tolerance": {"cost_rel": tol_cost, "survival_min": tol_surv},
-        "pass": bool(cost_rel <= tol_cost and surv_p >= tol_surv),
+        "pass": bool(cost_rel <= tol_cost and surv_p >= tol_surv
+                     and surv_o >= tol_surv),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "NORTHSTAR.json")

@@ -173,3 +173,28 @@ def test_fused_probe_harvest_validation():
     assert len(vp) == 1
     assert sol.probe_cost == pytest.approx(
         min(vp[0]["harvested"], vp[0]["final"]), rel=1e-6)
+
+
+def test_fused_v0_cross_rank_warm_start():
+    """Warm-starting from a value saved at a DIFFERENT rank cap (the CLI
+    --load vf.npz workflow) re-pads v0 to the solver's static cap instead
+    of crashing at trace time."""
+    prob = make_lq_problem(sigma=1.0, beta=1.0)
+    grid = prob.default_grid(21)
+    s8 = fused_tt_vi(prob, grid, n_controls=9, rmax=8,
+                     key=jax.random.key(0), tol=0.0, max_iters=60)
+    # up-pad: R=8 value into an R=12 solver
+    s12 = fused_tt_vi(prob, grid, n_controls=9, rmax=12, v0=s8.v,
+                      key=jax.random.key(1), tol=1e-4, max_iters=800)
+    assert np.isfinite(s12.residual)
+    # down-pad when the active ranks fit
+    s8b = fused_tt_vi(prob, grid, n_controls=9, rmax=8,
+                      v0=s12.v if int(np.asarray(s12.v.ranks).max()) <= 8
+                      else s8.v,
+                      key=jax.random.key(2), tol=1e-4, max_iters=400)
+    assert np.isfinite(s8b.residual)
+    # incompatible down-pad raises with guidance
+    if int(np.asarray(s12.v.ranks).max()) > 6:
+        with pytest.raises(ValueError, match="active ranks"):
+            fused_tt_vi(prob, grid, n_controls=9, rmax=6, v0=s12.v,
+                        key=jax.random.key(3), tol=1e-4, max_iters=10)
