@@ -173,11 +173,17 @@ class C3Control:
 
         prob = self.problem()
         grid = sol.grid
+        value_grad_fn = None
         if basis == "poly":
-            from c3sc_tpu.ops.ft import ft_eval, ft_from_tt
+            from c3sc_tpu.ops.ft import ft_eval, ft_from_tt, ft_grad_eval
 
             ft = ft_from_tt(sol.v, grid)
             value_fn = lambda p: ft_eval(ft, p)
+            # refinement minimizes the continuous HJB Hamiltonian driven by
+            # the smooth FT gradient (SURVEY.md §3.4: the reference's
+            # continuous inner min differentiates the poly cores the same
+            # way; r2 verdict next #7)
+            value_grad_fn = lambda p: ft_grad_eval(ft, p)
         else:
             from c3sc_tpu.ops.tt import tt_lerp_eval
 
@@ -185,4 +191,5 @@ class C3Control:
         return make_implicit_policy(
             prob, grid, value_fn,
             prob.control_candidates(n_controls), refine_steps=refine_steps,
+            value_grad_fn=value_grad_fn,
         )

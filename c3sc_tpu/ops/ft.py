@@ -146,3 +146,35 @@ def ft_grad_eval(ft: PolyFT, pts) -> jnp.ndarray:
     (lerp gradients are piecewise constant and undefined on cell faces)."""
     g = jax.vmap(jax.grad(lambda x: ft_eval(ft, x[None])[0]))
     return g(jnp.asarray(pts))
+
+
+def ft_save(path: str, ft: PolyFT) -> None:
+    """Serialize a PolyFT to npz — the ``function_train_save`` equivalent
+    for polynomial cores (``lib_clinalg/ft.c`` serialize — line n/a, empty
+    mount; SURVEY.md §2.2/§5): coefficient cores + ranks + static domain."""
+    import json
+
+    arrays = {f"coeff_{k}": np.asarray(c) for k, c in enumerate(ft.coeff)}
+    arrays["ranks"] = np.asarray(ft.ranks)
+    meta = {"kind": "poly_ft", "d": ft.ndim, "lb": list(ft.lb),
+            "ub": list(ft.ub), "periodic": [bool(p) for p in ft.periodic]}
+    arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def ft_load(path: str) -> PolyFT:
+    """Restore a PolyFT written by :func:`ft_save`."""
+    import json
+
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    meta = json.loads(bytes(data["meta"]).decode())
+    if meta.get("kind") != "poly_ft":
+        raise ValueError(f"{path} is not a PolyFT file "
+                         f"(kind={meta.get('kind')!r})")
+    d = meta["d"]
+    return PolyFT(
+        coeff=tuple(jnp.asarray(data[f"coeff_{k}"]) for k in range(d)),
+        ranks=jnp.asarray(data["ranks"]),
+        lb=tuple(meta["lb"]), ub=tuple(meta["ub"]),
+        periodic=tuple(meta["periodic"]),
+    )

@@ -19,6 +19,36 @@ from c3sc_tpu.models.base import ControlProblem
 from c3sc_tpu.ops import mca
 
 
+def q_values(
+    problem: ControlProblem,
+    grid: Grid,
+    value_fn: Callable,
+    controls,
+    x,
+):
+    """Bellman RHS Q(x, u) for every control candidate: [B, C].
+
+    The per-candidate objective ``bellman_optimal`` scans in the reference
+    (``c3sc/src/bellman.c`` — line n/a, empty mount; SURVEY.md §3.1),
+    exposed batched so policy-agreement analyses can measure the Q-gap
+    between two policies' picks under ONE value function (the oracle's).
+    value_fn: batched points [..., d] -> values [...].
+    """
+    uc = jnp.asarray(controls)
+    d = problem.dx
+    xf = x.reshape(-1, d)
+    h = jnp.asarray(grid.h, xf.dtype)
+    eye = jnp.eye(d, dtype=xf.dtype)
+    nb = jnp.stack([xf[:, None, :] + h[:, None] * eye,
+                    xf[:, None, :] - h[:, None] * eye], axis=1)
+    vnb = value_fn(nb.reshape(-1, d)).reshape(-1, 2, d)      # [B, 2, d]
+    pp, pm, dt = mca.transition_all_controls(problem, grid, xf, uc)
+    g = mca.stage_cost_all(problem, xf, uc)                  # [C, B]
+    expect = jnp.sum(pp * vnb[None, :, 0] + pm * vnb[None, :, 1], axis=-1)
+    rhs = (g * dt + jnp.exp(-problem.beta * dt) * expect).T  # [B, C]
+    return rhs.reshape(*x.shape[:-1], len(uc))
+
+
 def make_implicit_policy(
     problem: ControlProblem,
     grid: Grid,
@@ -26,6 +56,7 @@ def make_implicit_policy(
     controls,
     refine_steps: int = 0,
     refine_method: str = "pgd",
+    value_grad_fn: Callable | None = None,
 ):
     """Build policy(x [..., d]) -> u [..., du].
 
@@ -37,6 +68,15 @@ def make_implicit_policy(
     fixed-iteration batched optimizers). refine_method: 'pgd' (projected
     gradient, parallel line search) or 'lbfgs' (box L-BFGS — the c3opt BFGS
     analogue; better on ill-conditioned control landscapes).
+
+    value_grad_fn (pts [B, d] -> [B, d], e.g. ``ft_grad_eval`` on a PolyFT):
+    when given, refinement minimizes the continuous HJB Hamiltonian
+    ``g(x, u) + grad v(x) . f(x, u)`` instead of the MCA stencil RHS — the
+    u-dependence of the discounted HJB at a point is exactly this term
+    (the diffusion contribution is u-independent for sigma(x) models), and
+    the smooth gradient removes the stencil's h-quantized u-sensitivity.
+    Requires a basis with well-defined gradients (poly FT; lerp gradients
+    are piecewise-constant in x but the objective is still smooth in u).
     """
     uc = jnp.asarray(controls)
     d = problem.dx
@@ -69,7 +109,15 @@ def make_implicit_policy(
             from c3sc_tpu.ops.argmin import lbfgs_minimize, pgd_minimize
 
             minimize = lbfgs_minimize if refine_method == "lbfgs" else pgd_minimize
-            f = lambda ub: jax.vmap(rhs_one)(xf, vnb, ub)
+            if value_grad_fn is not None:
+                # continuous HJB Hamiltonian: grad v is u-independent, so
+                # compute it ONCE per state and refine the smooth objective
+                gv = value_grad_fn(xf)                       # [B, d]
+                f = lambda ub: jax.vmap(
+                    lambda x, g, uu: problem.stage_cost(x, uu)
+                    + jnp.dot(g, problem.drift(x, uu)))(xf, gv, ub)
+            else:
+                f = lambda ub: jax.vmap(rhs_one)(xf, vnb, ub)
             u, _ = minimize(
                 f, u, jnp.asarray(problem.ulb, u.dtype),
                 jnp.asarray(problem.uub, u.dtype), n_iters=refine_steps,

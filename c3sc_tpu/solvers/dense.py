@@ -88,54 +88,63 @@ def make_dense_step(problem: ControlProblem, grid: Grid, controls, dtype=jnp.flo
     sweeps and returns (v_new, residual_of_last_sweep).
     """
     x, pp, pm, dt, g, term_mask, term_value = _precompute(problem, grid, controls, dtype)
-    beta = problem.beta
-    disc = jnp.exp(-beta * dt)  # [C, N]
-    gdt = g * dt                # [C, N]
     shape = grid.shape
+    # the stencil is passed as an ARGUMENT pytree, never closed over: a jit
+    # closure constant is inlined into the serialized HLO, and at 9^6 the
+    # [C, N, d] tensors are ~320 MB each — the axon remote-compile endpoint
+    # rejects the program body outright (HTTP 413), and any backend pays the
+    # constant re-hash per compile. As arguments they live on device once.
+    stencil = dict(
+        pp=pp, pm=pm, gdt=g * dt, disc=jnp.exp(-problem.beta * dt),
+        term_mask=term_mask, term_value=term_value,
+    )
 
-    def backup_all(v):
-        """RHS for every candidate: [C, N]."""
-        vp, vm = neighbor_values(v, grid)  # [N, d]
-        expect = jnp.einsum("cnd,nd->cn", pp, vp) + jnp.einsum("cnd,nd->cn", pm, vm)
-        return gdt + disc * expect
+    def apply_terminal(st, vflat):
+        return jnp.where(st["term_mask"], st["term_value"], vflat)
 
-    def apply_terminal(vflat):
-        return jnp.where(term_mask, term_value, vflat)
-
-    def improve(v):
-        rhs = backup_all(v)                   # [C, N]
+    def improve(st, v):
+        vp, vm = neighbor_values(v, grid)     # [N, d]
+        rhs = st["gdt"] + st["disc"] * (
+            jnp.einsum("cnd,nd->cn", st["pp"], vp)
+            + jnp.einsum("cnd,nd->cn", st["pm"], vm)
+        )                                     # [C, N]
         best = jnp.argmin(rhs, axis=0)        # [N]
-        vnew = apply_terminal(jnp.min(rhs, axis=0)).reshape(shape)
+        vnew = apply_terminal(st, jnp.min(rhs, axis=0)).reshape(shape)
         return vnew, best
 
-    def gather_policy(best):
+    def gather_policy(st, best):
         take = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
-        pol_pp = jnp.take_along_axis(pp, best[None, :, None], axis=0)[0]
-        pol_pm = jnp.take_along_axis(pm, best[None, :, None], axis=0)[0]
-        return pol_pp, pol_pm, take(gdt), take(disc)
+        pol_pp = jnp.take_along_axis(st["pp"], best[None, :, None], axis=0)[0]
+        pol_pm = jnp.take_along_axis(st["pm"], best[None, :, None], axis=0)[0]
+        return pol_pp, pol_pm, take(st["gdt"]), take(st["disc"])
 
-    def evaluate(v, pol):
+    def evaluate(st, v, pol):
         pol_pp, pol_pm, pol_gdt, pol_disc = pol
         vp, vm = neighbor_values(v, grid)
         expect = jnp.sum(pol_pp * vp + pol_pm * vm, axis=-1)
-        return apply_terminal(pol_gdt + pol_disc * expect).reshape(shape)
+        return apply_terminal(st, pol_gdt + pol_disc * expect).reshape(shape)
 
-    def one_outer(v):
-        vnew, best = improve(v)
-        pol = gather_policy(best)
-        vnew = jax.lax.fori_loop(0, eval_sweeps, lambda _, vv: evaluate(vv, pol), vnew)
+    def one_outer(st, v):
+        vnew, best = improve(st, v)
+        pol = gather_policy(st, best)
+        vnew = jax.lax.fori_loop(
+            0, eval_sweeps, lambda _, vv: evaluate(st, vv, pol), vnew)
         return vnew
 
     @partial(jax.jit, static_argnames="n_outer")
-    def step(v, n_outer: int):
+    def _step(st, v, n_outer: int):
         def body(_, carry):
             v, _ = carry
-            vnew = one_outer(v)
+            vnew = one_outer(st, v)
             res = jnp.max(jnp.abs(vnew - v))
             return vnew, res
         return jax.lax.fori_loop(0, n_outer, body, (v, jnp.asarray(jnp.inf, dtype)))
 
-    init_v = apply_terminal(jnp.zeros(int(np.prod(shape)), dtype)).reshape(shape)
+    def step(v, n_outer: int):
+        return _step(stencil, v, n_outer)
+
+    init_v = jnp.where(term_mask, term_value,
+                       jnp.zeros(int(np.prod(shape)), dtype)).reshape(shape)
     return step, init_v
 
 

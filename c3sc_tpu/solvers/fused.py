@@ -69,7 +69,6 @@ class FusedCarry(NamedTuple):
     rr: jnp.ndarray       # [d+1] int32 active right-set sizes
     rows_l: jnp.ndarray     # [d, R] int32 — pivot rows per core (L2R)
     rows_r: jnp.ndarray     # [d, R] int32 — pivot rows per core (R2L)
-    key: jnp.ndarray
     it: jnp.ndarray         # int32
     residual: jnp.ndarray   # float — per-iteration sample change
     long_res: jnp.ndarray   # float — sample change over the last window
@@ -85,6 +84,7 @@ class FusedCarry(NamedTuple):
     frozen: jnp.ndarray     # bool — sticky adaptation-freeze latch
     freeze_mark: jnp.ndarray  # float — long_res when the latch engaged
     best_long: jnp.ndarray  # float — best windowed residual seen (monotone)
+    best_absdisp: jnp.ndarray  # float — best ABSOLUTE windowed displacement
     warm_until: jnp.ndarray # int32 — free-repivot warmup end (reset on growth)
 
 
@@ -462,6 +462,18 @@ def make_fused_vi(
     d = problem.dx
     R = rmax
     shape = grid.shape
+    # static feasible bond dimensions: the TT rank at bond k can never
+    # exceed min(prod(shape[:k]), prod(shape[k:])). Each half sweep only
+    # bounds the rank through ITS side's recursion (rl[k]*n / rr[k+1]*n),
+    # so without this clamp the R2L pass can assign an edge bond a rank
+    # above the OTHER side's feasible dimension — measured on the 9^6
+    # quadcopter at rmax 16: bond 1 adapted to rank 10 > n_0 = 9, i.e. one
+    # exactly-redundant column of f32 noise, and the solve churned at
+    # res 3e-2 instead of converging.
+    import math
+
+    bond_cap = [min(math.prod(shape[:k]), math.prod(shape[k:]), R)
+                for k in range(d + 1)]
     uc = jnp.asarray(controls, dtype)
     rng = np.random.default_rng(777)
     sample_idx = jnp.asarray(
@@ -587,8 +599,12 @@ def make_fused_vi(
         # poisoned at it 88 without this; LQ/pendulum trajectories are
         # untouched since the scrub is the identity on finite values)
         # 1e12 (not bigger): the fitting QR squares column entries — a
-        # 1e20 replacement overflows the f32 norm computation itself
-        val = jnp.nan_to_num(val, nan=0.0,
+        # 1e20 replacement overflows the f32 norm computation itself.
+        # NaN -> UPPER bound when bounds exist (r2 advisor): 0.0 can sit
+        # below vb[0] for positive running costs — a spuriously LOW value
+        # is optimistic and ATTRACTS the Bellman min toward the scrubbed
+        # node; the pessimistic bound is self-correcting for a min.
+        val = jnp.nan_to_num(val, nan=vb[1] if vb is not None else 0.0,
                              posinf=vb[1] if vb is not None else 1e12,
                              neginf=vb[0] if vb is not None else -1e12)
         return val.astype(dtype).reshape(R, n, R)
@@ -626,7 +642,6 @@ def make_fused_vi(
         cores_prev, ranks_prev = carry.cores, carry.ranks
         left, right, rl, rr = carry.left, carry.right, carry.rl, carry.rr
         rows_l, rows_r = carry.rows_l, carry.rows_r
-        key = carry.key
         new_cores = list(cores_prev)
         new_ranks = [jnp.asarray(1, jnp.int32)] * (d + 1)
 
@@ -639,7 +654,8 @@ def make_fused_vi(
             C = vals.reshape(R * n, R) * row_mask[:, None] * col_mask[None, :]
             qe, r_need, r_new = _orth_basis_and_rank(
                 C, noise_l2r[k], eps_rank, kick,
-                jnp.minimum(R, rl[k] * n), row_mask, rl[k + 1], frozen,
+                jnp.minimum(rl[k] * n, bond_cap[k + 1]), row_mask,
+                rl[k + 1], frozen,
             )
             rows = _hysteresis_rows(qe, rows_l[k], r_new, rl[k + 1],
                                     carry.it < carry.warm_until, frozen)
@@ -679,7 +695,8 @@ def make_fused_vi(
             M = M * row_mask[:, None] * col_mask[None, :]
             qe, r_need, r_new = _orth_basis_and_rank(
                 M, noise_r2l[k], eps_rank, kick,
-                jnp.minimum(R, rr[k + 1] * n), row_mask, rr[k], frozen,
+                jnp.minimum(rr[k + 1] * n, bond_cap[k]), row_mask,
+                rr[k], frozen,
             )
             rows = _hysteresis_rows(qe, rows_r[k], r_new, rr[k],
                                     carry.it < carry.warm_until, frozen)
@@ -717,7 +734,7 @@ def make_fused_vi(
         # and degraded healthy solves — see _interp_from_rows.)
         new_sample = jnp.nan_to_num(
             new_sample,
-            nan=0.0,
+            nan=vb[1] if vb is not None else 0.0,  # pessimistic (see above)
             posinf=vb[1] if vb is not None else 1e12,
             neginf=vb[0] if vb is not None else -1e12,
         )
@@ -731,10 +748,22 @@ def make_fused_vi(
         # count as stalled, not as improvement every other window — with the
         # last-window baseline the stall patience never fired mid-churn and
         # neither the freeze latch nor rank-cap growth could engage.
-        improved = long_new < carry.best_long * 0.98
+        # improvement/stall tracking runs on the ABSOLUTE windowed
+        # displacement, not the relative one: a transiently blown-up
+        # iterate (samples ~1e6) scores a deceptively small RELATIVE
+        # displacement, poisoning the monotone baseline so genuine
+        # recovery windows read as "no improvement" and patience fires
+        # mid-recovery (measured on 31^2 LQ seed matrix: one seed stopped
+        # at rel err 1.16 that way). best_long (relative) is still
+        # tracked for the freeze logic and diagnostics.
+        abs_disp = jnp.max(jnp.abs(new_sample - carry.sample_ref))
+        improved = abs_disp < carry.best_absdisp * 0.98
         best_long = jnp.where(
             at_boundary, jnp.minimum(carry.best_long, long_new),
             carry.best_long)
+        best_absdisp = jnp.where(
+            at_boundary, jnp.minimum(carry.best_absdisp, abs_disp),
+            carry.best_absdisp)
         wstall = jnp.where(
             at_boundary, jnp.where(improved, 0, carry.wstall + 1), carry.wstall
         )
@@ -742,15 +771,23 @@ def make_fused_vi(
         # (adaptation plateaued); release on divergence under the freeze.
         # Both transitions reset wstall so the new regime gets fresh
         # stopping patience.
-        # Entry requires UNSATURATED ranks: at a saturated cap the pivots
-        # carry O(truncation) interpolation error and the frozen operator
-        # can have spectral radius > 1 (measured: freeze at saturated
-        # rmax=12 diverged res 0.05 -> 0.97 before the exit fired). The
-        # saturated-stall case is handled by rank-cap GROWTH in fused_tt_vi
-        # instead.
+        # Entry at UNSATURATED ranks is unconditional on the residual
+        # level. At a SATURATED cap the pivots carry O(truncation)
+        # interpolation error and the frozen operator can have spectral
+        # radius > 1 when that truncation is large (measured: freeze at
+        # saturated rmax=12 from res 5e-2 diverged 0.05 -> 0.97 before the
+        # exit fired) — but a saturated stall at LOW residual
+        # (< freeze_res) is the cap == epsilon-rank regime, where pivot
+        # churn is f32 noise and only which LINEAGE settles is seed-
+        # dependent; freezing there converges it deterministically
+        # (measured on 41^2 pendulum rmax=16: the key(0) lineage churned
+        # at 4e-3 for 2500 iterations, frozen it converges to tol). Large-
+        # truncation saturation stays excluded and is handled by rank-cap
+        # GROWTH in fused_tt_vi instead.
         unsaturated = jnp.max(ranks_new) < R
         enter_stall = (at_boundary & (~frozen_latch)
-                       & (wstall >= freeze_after) & unsaturated)
+                       & (wstall >= freeze_after)
+                       & (unsaturated | (long_new < freeze_res)))
         # (a residual-dip latch entry was tried and REVERTED: latching on
         # transient dips destabilized configs the per-iteration gate
         # handled — LQ rmax=10 went NaN, pendulum rmax=24 parity regressed;
@@ -782,19 +819,36 @@ def make_fused_vi(
             ranks_best = jnp.where(is_best, ranks_new, carry.ranks_best)
             probe_cost_out = jnp.where(at_boundary, pc, carry.probe_cost)
         else:
+            # no probe: harvest the iterate with the smallest ABSOLUTE
+            # windowed displacement (the contraction-mapping error proxy:
+            # ||v_k - v*|| <= ||T v_k - v_k|| / (1 - gamma)). In the churn
+            # regime (cap off the problem's epsilon-rank; which lineages
+            # churn is SEED-dependent) the final iterate can sit on an
+            # oscillation far from the fixed point — measured on 31^2 LQ at
+            # rmax 10: final-iterate error across 6 seeds ranged 0.07..243x
+            # the value scale; harvest brings every seed to 0.06..0.10.
+            # ABSOLUTE, not relative-to-current-scale: a blown-up iterate
+            # (samples ~1e6) scores a small RELATIVE displacement and
+            # out-ranked healthy windows (measured err 1556x from exactly
+            # that selection) — absolute displacement ranks it last.
+            is_best = at_boundary & (abs_disp < carry.best_absdisp)
             best_cost = carry.best_cost
-            cores_best = tuple(new_cores)
-            ranks_best = ranks_new
+            cores_best = tuple(
+                jnp.where(is_best, nc, cb)
+                for nc, cb in zip(new_cores, carry.cores_best)
+            )
+            ranks_best = jnp.where(is_best, ranks_new, carry.ranks_best)
             probe_cost_out = carry.probe_cost
         return FusedCarry(
             cores=tuple(new_cores), ranks=ranks_new, left=left, right=right,
-            rl=rl, rr=rr, rows_l=rows_l, rows_r=rows_r, key=key,
+            rl=rl, rr=rr, rows_l=rows_l, rows_r=rows_r,
             it=carry.it + 1, residual=residual,
             long_res=long_res, wstall=wstall, v_sample=new_sample,
             sample_ref=sample_ref, probe_cost=probe_cost_out,
             best_cost=best_cost, cores_best=cores_best, ranks_best=ranks_best,
             frozen=frozen_next, freeze_mark=freeze_mark,
-            best_long=best_long, warm_until=carry.warm_until,
+            best_long=best_long, best_absdisp=best_absdisp,
+            warm_until=carry.warm_until,
         )
 
     def init_fn(key, v0: TT | None = None) -> FusedCarry:
@@ -803,14 +857,50 @@ def make_fused_vi(
             ranks = jnp.ones(d + 1, jnp.int32)
         else:
             cores, ranks = v0.cores, v0.ranks
-        host_rng = np.random.default_rng(999)
+        # seed the initial cross pivot sets from the caller's key so
+        # batched "independent solves" (parallel/multi_solve.py) explore
+        # genuinely different pivot lineages per instance (the r2 dead-key
+        # finding: the key used to be stored in the carry and never read,
+        # while every instance started from one fixed host seed)
+        if key is None:
+            seed = 999
+        else:
+            kd = (jax.random.key_data(key)
+                  if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key)
+                  else key)  # old-style uint32 keys have no key_data
+            seed = int(np.asarray(kd).ravel()[-1])
+        host_rng = np.random.default_rng(seed)
+        def distinct_rows(dims):
+            """[R, len(dims)] multi-indices with DISTINCT tuples. Duplicate
+            pivot rows make the initial cross submatrix exactly singular and
+            can latch a churning lineage the rank-adaptive sweep never
+            escapes — measured on 31^2 LQ: iid-uniform init diverges
+            outright for some seeds (rel err 2.6 at rmax 10) while distinct
+            rows converge for every seed tried."""
+            space = 1
+            for j in dims:
+                space *= shape[j]
+            rows = np.stack([host_rng.integers(0, shape[j], size=R)
+                             for j in dims], axis=-1)
+            if space < R:
+                return rows  # tiny space: duplicates unavoidable
+            for _ in range(64):
+                flat = np.ravel_multi_index(
+                    rows.T, [shape[j] for j in dims])
+                _, first = np.unique(flat, return_index=True)
+                dup = np.setdiff1d(np.arange(R), first)
+                if dup.size == 0:
+                    break
+                rows[dup] = np.stack(
+                    [host_rng.integers(0, shape[j], size=dup.size)
+                     for j in dims], axis=-1)
+            return rows
+
         left = np.zeros((d + 1, R, d), np.int32)
         right = np.zeros((d + 1, R, d), np.int32)
         for k in range(1, d):
-            for j in range(k):
-                left[k, :, j] = host_rng.integers(0, shape[j], size=R)
-            for j in range(k, d):
-                right[k, :, j] = host_rng.integers(0, shape[j], size=R)
+            left[k, :, :k] = distinct_rows(range(k))
+            right[k, :, k:] = distinct_rows(range(k, d))
         r0 = np.ones(d + 1, np.int32) * min(3, R)
         r0[0] = r0[d] = 1
         v_sample = tt_gather_eval(TT(cores, ranks), sample_idx)
@@ -820,7 +910,7 @@ def make_fused_vi(
             rl=jnp.asarray(r0), rr=jnp.asarray(r0),
             rows_l=jnp.zeros((d, R), jnp.int32),
             rows_r=jnp.zeros((d, R), jnp.int32),
-            key=key, it=jnp.asarray(0, jnp.int32),
+            it=jnp.asarray(0, jnp.int32),
             residual=jnp.asarray(jnp.inf, dtype),
             long_res=jnp.asarray(jnp.inf, dtype),
             wstall=jnp.asarray(0, jnp.int32), v_sample=v_sample,
@@ -831,15 +921,29 @@ def make_fused_vi(
             frozen=jnp.asarray(False),
             freeze_mark=jnp.asarray(jnp.inf, dtype),
             best_long=jnp.asarray(jnp.inf, dtype),
+            best_absdisp=jnp.asarray(jnp.inf, dtype),
             warm_until=jnp.asarray(60, jnp.int32),
         )
+
+    # under the freeze the iteration is a FIXED interpolation operator:
+    # it either contracts to tol within a few windows (abs displacement
+    # halving keeps resetting wstall) or it has hit its lineage's refit-
+    # noise floor and further iterations are pure waste (measured on 41^2
+    # pendulum: a frozen lineage sat at res 6e-3 for 800+ iterations).
+    # Stopping early there hands the remaining budget to a fresh-lineage
+    # restart in fused_tt_vi. The UNFROZEN stall patience stays the
+    # caller's: capping it was tried and REVERTED — churn-phase "snap"
+    # times are heavy-tailed (one key snapped to tol after 17 stalled
+    # windows) and a 12-window cap killed that run's snap while its warm
+    # restarts re-floored in the same basin.
+    frozen_patience = min(patience, 6)
 
     def cond(c):
         return (
             (c.it < max_iters)
             & (c.residual > tol)
             & (c.long_res > tol)
-            & (c.wstall < patience)
+            & (c.wstall < jnp.where(c.frozen, frozen_patience, patience))
         )
 
     @jax.jit
@@ -974,9 +1078,10 @@ def fused_tt_vi(
     cur_rmax = rmax
     solver = build(cur_rmax)
     if resume_from is not None:
-        from c3sc_tpu.utils.checkpoint import load_fused_carry
+        from c3sc_tpu.utils.checkpoint import fused_context, load_fused_carry
 
-        carry = load_fused_carry(resume_from)
+        carry = load_fused_carry(
+            resume_from, expect=fused_context(problem, grid, cur_rmax))
         ck_R = carry.cores[0].shape[0]
         if ck_R != cur_rmax:
             cur_rmax = ck_R
@@ -1003,6 +1108,7 @@ def fused_tt_vi(
             wstall=jnp.zeros_like(carry.wstall),
             long_res=jnp.full_like(carry.long_res, jnp.inf),
             best_long=jnp.full_like(carry.best_long, jnp.inf),
+            best_absdisp=jnp.full_like(carry.best_absdisp, jnp.inf),
         )
     chunked = metrics is not None or checkpoint_path is not None or log_every > 0
 
@@ -1039,15 +1145,19 @@ def fused_tt_vi(
             if checkpoint_path is not None and checkpoint_every > 0 and (
                 it - last_saved >= checkpoint_every
             ):
-                from c3sc_tpu.utils.checkpoint import save_fused_carry
+                from c3sc_tpu.utils.checkpoint import (fused_context,
+                                                       save_fused_carry)
 
-                save_fused_carry(checkpoint_path, out)
+                save_fused_carry(checkpoint_path, out,
+                                 context=fused_context(problem, grid,
+                                                       cur_rmax))
                 last_saved = it
             stop = (
                 it >= max_iters
                 or float(out.residual) <= tol
                 or float(out.long_res) <= tol
-                or int(out.wstall) >= patience
+                or int(out.wstall) >= (min(patience, 6) if bool(out.frozen)
+                                       else patience)
             )
             if stop:
                 break
@@ -1055,6 +1165,7 @@ def fused_tt_vi(
 
     t0 = time.time()
     best_out, best_metric = None, float("inf")
+    lineage_retries = 0
     # cross-stage probe harvest: the best-by-realized-cost iterate must
     # survive growth (each stage's init_fn resets best_cost/cores_best)
     gbest_cost, gbest_cores, gbest_ranks = float("inf"), None, None
@@ -1063,8 +1174,9 @@ def fused_tt_vi(
         if probe_rollouts > 0 and float(out.best_cost) < gbest_cost:
             gbest_cost = float(out.best_cost)
             gbest_cores, gbest_ranks = out.cores_best, out.ranks_best
-        # stage quality = best windowed residual it reached (monotone)
-        metric = float(out.best_long)
+        # stage quality = best ABSOLUTE windowed displacement it reached
+        # (monotone; scale-robust — see the body() improvement comment)
+        metric = float(out.best_absdisp)
         improving = metric < 0.8 * best_metric
         if best_out is None or metric < best_metric:
             best_out, best_metric = out, min(metric, best_metric)
@@ -1098,17 +1210,44 @@ def fused_tt_vi(
                 it=out.it, warm_until=out.it + 60)
             cur_rmax = new_R
             continue
+        if unconverged and lineage_retries < 8:
+            # same-cap lineage RESTART: which pivot lineage a cross solve
+            # settles into is seed-dependent, and a bad one floors above
+            # tol even under the freeze (measured on 41^2 pendulum rmax=16:
+            # 3 of 4 keys converge to 2e-4, one floors at 6e-3). Re-drawing
+            # the index sets warm-started on the harvested best iterate
+            # re-rolls the lineage within the same max_iters budget (the
+            # frozen-floor early stop above is what leaves budget for it).
+            lineage_retries += 1
+            if metrics is not None:
+                metrics.log("fused_lineage_restart", iter=int(out.it),
+                            retry=lineage_retries,
+                            residual=float(out.residual))
+            key, sk = jax.random.split(key)
+            # alternate warm / cold retries: a warm start (harvested best
+            # value) converges fastest when the PIVOTS were the problem,
+            # but when the harvested value itself carries the floor the
+            # fresh lineage freezes onto it within two windows and every
+            # warm retry inherits the same basin (measured: 8 warm retries
+            # all refloored at 3e-3). Cold retries are independent draws.
+            warm = (TT(out.cores_best, out.ranks_best)
+                    if lineage_retries % 2 == 1 else None)
+            carry = solver.init_fn(sk, warm)._replace(
+                it=out.it, warm_until=out.it + 60)
+            continue
         break
     # the on-disk resumable state must reflect the LATEST progress, not the
     # returned (possibly earlier best) stage — save before any rollback
     if chunked and checkpoint_path is not None:
-        from c3sc_tpu.utils.checkpoint import save_fused_carry
+        from c3sc_tpu.utils.checkpoint import (fused_context,
+                                               save_fused_carry)
 
-        save_fused_carry(checkpoint_path, out)
+        save_fused_carry(checkpoint_path, out,
+                         context=fused_context(problem, grid, cur_rmax))
     # a grown stage that failed to pay (best_long not improved 20%) means
     # the cap overshot the problem's epsilon-rank — return the BEST stage's
     # iterate, not the last one
-    if best_out is not None and float(best_out.best_long) < float(out.best_long):
+    if best_out is not None and float(best_out.best_absdisp) < float(out.best_absdisp):
         out = best_out
     # re-attach the cross-stage probe harvest (pad to the returned cap)
     if probe_rollouts > 0 and gbest_cores is not None and (
@@ -1186,7 +1325,17 @@ def fused_tt_vi(
         else:
             out = out._replace(best_cost=jnp.asarray(c_harvest, dtype))
     wall = time.time() - t0
-    # cores_best: probe-harvested best iterate when probing, else the last
+    if probe_rollouts == 0 and (
+        float(out.residual) <= tol or float(out.long_res) <= tol
+    ):
+        # converged: return the final iterate — it carries up to window-1
+        # iterations of progress past the last harvest boundary. The
+        # harvested snapshot is only returned for a run that STOPPED
+        # unconverged (patience/max_iters — the churn regime), where it is
+        # the measured save (see body()).
+        out = out._replace(cores_best=out.cores, ranks_best=out.ranks)
+    # cores_best: probe-harvested best iterate when probing, best-residual
+    # harvest (or final, above) otherwise
     v = TT(out.cores_best, out.ranks_best)
     return FusedVISolution(
         v=v, residual=float(out.residual), iterations=int(out.it),

@@ -1,6 +1,7 @@
 """Aux subsystems: checkpoint/resume, metrics, config (SURVEY.md §5)."""
 
 from c3sc_tpu.utils.checkpoint import (
+    fused_context,
     load_fused_carry,
     load_solver_state,
     save_fused_carry,
@@ -10,5 +11,6 @@ from c3sc_tpu.utils.metrics import MetricsLogger
 
 __all__ = [
     "save_solver_state", "load_solver_state",
-    "save_fused_carry", "load_fused_carry", "MetricsLogger",
+    "save_fused_carry", "load_fused_carry", "fused_context",
+    "MetricsLogger",
 ]

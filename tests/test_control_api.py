@@ -103,3 +103,37 @@ def test_builder_policy_poly_basis():
     # same candidate at >= 80% of states (near-ties at cell faces differ)
     agree = (np.abs(u_lin - u_fts) < 1e-6).all(axis=-1).mean()
     assert agree > 0.8, agree
+
+
+def test_poly_policy_closed_loop_beats_lerp():
+    """Closed-loop rollout with basis='poly' (r2 verdict next #7): on smooth
+    LQ the FT policy must realize cost <= lerp, and the Hamiltonian refine
+    driven by ft_grad_eval must beat BOTH the unrefined policy and the
+    MCA-stencil refine. Measured: lerp 2.012, lerp+refine 1.878,
+    poly+refine 1.799 (8 PGD steps, 128 rollouts, 400 steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from c3sc_tpu.sim import rollout
+
+    ctrl = build_lq()
+    sol = ctrl.vi_solve(ngrid=21, rmax=8, n_controls=9, tol=2e-4,
+                        max_iters=800, key=jax.random.key(0))
+    prob = ctrl.problem()
+    grid = sol.grid
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.uniform(-1.2, 1.2, (128, 2)), jnp.float32)
+    key = jax.random.key(11)
+
+    def realized(**kw):
+        pol = ctrl.implicit_policy(sol, n_controls=9, **kw)
+        tr = rollout(prob, grid, pol, x0, key, dt=0.01, n_steps=400)
+        return float(np.asarray(tr.cost).mean())
+
+    c_lerp = realized()
+    c_lref = realized(refine_steps=8)
+    c_poly = realized(basis="poly")
+    c_pref = realized(basis="poly", refine_steps=8)
+    assert c_poly <= 1.02 * c_lerp, (c_poly, c_lerp)
+    assert c_pref <= 0.95 * c_lerp, (c_pref, c_lerp)
+    assert c_pref <= 1.005 * c_lref, (c_pref, c_lref)

@@ -78,3 +78,31 @@ def test_ft_grad_smooth():
     gx = np.cos(x) * np.sin(y) + 0.6 * x * y ** 2
     gy = np.sin(x) * np.cos(y) + 0.6 * x ** 2 * y
     np.testing.assert_allclose(g, np.stack([gx, gy], -1), atol=2e-2)
+
+
+def test_ft_save_load_roundtrip(tmp_path):
+    """PolyFT serialization (``function_train_save`` for poly cores —
+    SURVEY.md §2.2/§5; r2 verdict next #7): evaluation after a disk
+    roundtrip is bit-identical."""
+    from c3sc_tpu.ops.ft import ft_load, ft_save
+
+    grid = _grid()
+    ft = ft_from_tt(_smooth_tt(grid), grid)
+    path = str(tmp_path / "value_ft")
+    ft_save(path, ft)
+    ft2 = ft_load(path)
+    assert ft2.lb == ft.lb and ft2.ub == ft.ub and ft2.periodic == ft.periodic
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(np.stack([
+        rng.uniform(-2, 2, 128), rng.uniform(-1.5, 1.5, 128)], -1),
+        jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ft_eval(ft, pts)),
+                                  np.asarray(ft_eval(ft2, pts)))
+    # wrong-kind file raises a clear error, not a KeyError
+    np.savez(str(tmp_path / "not_ft.npz"), meta=np.frombuffer(
+        b'{"kind": "other"}', dtype=np.uint8))
+    try:
+        ft_load(str(tmp_path / "not_ft.npz"))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -1,10 +1,15 @@
 """Solves/s scaling efficiency (BASELINE.md: >= 80% from 1 to N >= 2 hosts).
 
 Measured on the virtual-device CPU mesh (SURVEY.md §4's substitute for real
-multi-host hardware). This machine has 2 physical cores, so the asserted
-point is 1 -> 2 devices (the BASELINE criterion is "N >= 2"); larger N is
-physically capped at n_cores/N and is recorded by bench_scaling.py instead.
+multi-host hardware) with the round-3 methodology: each N runs in its own
+subprocess pinned to N cores (1 virtual host = 1 core), warmup compiles the
+exact timed executable, and the headline is a median — see bench_scaling.py.
+This machine has 2 physical cores, so the asserted point is 1 -> 2 devices
+(the BASELINE criterion is "N >= 2"); larger N is physically capped at
+n_cores/N and is recorded by bench_scaling.py instead.
 """
+
+import os
 
 import numpy as np
 import pytest
@@ -12,23 +17,21 @@ import pytest
 
 @pytest.mark.slow
 def test_solves_per_s_scaling_efficiency():
-    import os
-
     import bench_scaling
 
     if (os.cpu_count() or 1) < 2:
         pytest.skip("needs >= 2 physical cores for a meaningful measurement")
-    # Timing test: retries absorb scheduler noise. The in-suite gate is a
-    # REGRESSION CANARY at 0.7 (suites run under arbitrary machine load —
-    # e.g. a concurrent TPU job's host thread once pushed a clean 0.94 run
-    # below 0.8); the >= 0.8 BASELINE evidence is BENCH_SCALING.json from a
-    # standalone `python bench_scaling.py` run, which measures 0.94.
+    # Timing test: one retry absorbs scheduler noise (suites run under
+    # arbitrary machine load). Gate restored to 0.8 (the BASELINE number)
+    # now that the pinned-subprocess methodology removes the two r2
+    # confounds (intra-op thread borrowing at N=1; compile in the timed
+    # region); validated over 10 consecutive runs before committing.
     best = 0.0
-    for _ in range(3):
-        results = bench_scaling.run(ns=(1, 2), iters=30, warmup=8,
-                                    grid_n=31, rmax=12)
+    for _ in range(2):
+        results = bench_scaling.run(ns=(1, 2), iters=300, repeats=2)
+        assert 1 in results and 2 in results, f"worker failed: {results}"
         best = max(best, results[2]["efficiency"])
         if best >= 0.8:
             break
-    assert best >= 0.7, f"1->2 device solves/s efficiency {best:.2f} < 0.7"
+    assert best >= 0.8, f"1->2 device solves/s efficiency {best:.2f} < 0.8"
     assert np.isfinite(results[1]["solves_per_s"])
