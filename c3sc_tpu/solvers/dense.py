@@ -172,6 +172,7 @@ def dense_vi(
     v = init_v if v0 is None else jnp.asarray(v0, dtype)
     history = []
     done = 0
+    best_res, stall = float("inf"), 0
     while done < max_outer:
         n = min(chunk, max_outer - done)
         v, res = step(v, n)
@@ -182,6 +183,18 @@ def dense_vi(
             print(f"[dense_vi:{problem.name}] outer={done} residual={res:.3e}")
         if res < tol:
             break
+        # plateau stop: in f32 the sup-norm residual bottoms out at the value
+        # scale's quantization floor (measured 1.5e-5 on the 9^6 quadcopter)
+        # and never reaches a tighter tol — stop once it stops improving
+        if res < best_res * 0.99:
+            best_res, stall = res, 0
+        else:
+            stall += 1
+            if stall >= 3:
+                if verbose:
+                    print(f"[dense_vi:{problem.name}] residual floor "
+                          f"{res:.3e} (no improvement for {stall} chunks)")
+                break
     return DenseSolution(v=v, residual=res, sweeps=done, residual_history=history,
                          controls=np.asarray(controls))
 
