@@ -147,32 +147,48 @@ def tt_from_dense(a: jnp.ndarray, rmax: int, tol: float = 1e-6) -> TT:
 def tt_gather_eval(tt: TT, idx) -> jnp.ndarray:
     """Evaluate at grid nodes. idx: [B, d] int -> [B].
 
-    A chain of batched [B, R] x [B, R, R] matvecs — maps straight onto the
-    MXU (reference: ``function_train_eval``, SURVEY.md §3.5).
+    (reference: ``function_train_eval``, SURVEY.md §3.5.)
+
+    Matmul-then-select per core: v @ core-unfolding [R, n*R] (one dense MXU
+    matmul) followed by a take_along_axis on the point's node index. The
+    straightforward per-point core gather materializes [R, B, R] slices —
+    at the 6D refinement pipeline's padding (R=128+, B~50k neighbor
+    batches) that is gigabytes and exhausted chip HBM; the unfolded matmul
+    form touches each core once and keeps the transient at [B, n, R].
     """
+    B = idx.shape[0]
     v = tt.cores[0][0, idx[:, 0], :]  # [B, R]
     for k in range(1, tt.ndim):
-        slices = tt.cores[k][:, idx[:, k], :]          # [R, B, R]
-        v = jnp.einsum("br,rbs->bs", v, slices)
+        R_l, n, R_r = tt.cores[k].shape
+        prod = v @ tt.cores[k].reshape(R_l, n * R_r)   # [B, n*R]
+        prod = prod.reshape(B, n, R_r)
+        v = jnp.take_along_axis(prod, idx[:, k][:, None, None], axis=1)[:, 0]
     return v[:, 0]
 
 
 def tt_lerp_eval(tt: TT, grid, x) -> jnp.ndarray:
-    """Continuous (linelm) evaluation at off-grid points x [B, d] -> [B]."""
+    """Continuous (linelm) evaluation at off-grid points x [B, d] -> [B].
+
+    Same matmul-then-select form as ``tt_gather_eval`` (two selected node
+    rows per dim, lerped) — avoids materializing [R, B, R] gathered core
+    slices, which exhausts HBM at refinement-pipeline paddings."""
     cell, w = grid.state_to_cell(grid.wrap_state(x))
     n = jnp.asarray(grid.shape, jnp.int32)
+    B = x.shape[0]
     v = None
     for k in range(tt.ndim):
         j0 = cell[:, k]
         j1 = jnp.mod(j0 + 1, n[k]) if grid.periodic[k] else jnp.clip(j0 + 1, 0, n[k] - 1)
         wk = w[:, k].astype(tt.cores[k].dtype)
-        s0 = tt.cores[k][:, j0, :]  # [R, B, R]
-        s1 = tt.cores[k][:, j1, :]
-        slices = s0 * (1 - wk)[None, :, None] + s1 * wk[None, :, None]
+        R_l, nk, R_r = tt.cores[k].shape
         if v is None:
-            v = slices[0]  # [B, R]
+            s0 = tt.cores[k][0, j0, :]  # [B, R]
+            s1 = tt.cores[k][0, j1, :]
         else:
-            v = jnp.einsum("br,rbs->bs", v, slices)
+            prod = (v @ tt.cores[k].reshape(R_l, nk * R_r)).reshape(B, nk, R_r)
+            s0 = jnp.take_along_axis(prod, j0[:, None, None], axis=1)[:, 0]
+            s1 = jnp.take_along_axis(prod, j1[:, None, None], axis=1)[:, 0]
+        v = s0 * (1 - wk)[:, None] + s1 * wk[:, None]
     return v[:, 0]
 
 

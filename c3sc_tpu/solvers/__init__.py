@@ -2,7 +2,8 @@
 iteration (the production path)."""
 
 from c3sc_tpu.solvers.dense import DenseSolution, dense_policy, dense_vi
-from c3sc_tpu.solvers.fused import FusedVISolution, fused_tt_vi
+from c3sc_tpu.solvers.fused import (FusedVISolution, fused_tt_vi,
+                                    fused_tt_vi_refined)
 from c3sc_tpu.solvers.ttvi import TTVISolution, tt_vi
 from c3sc_tpu.solvers.ttpi import TTPISolution, tt_pi
 
@@ -10,5 +11,5 @@ __all__ = [
     "DenseSolution", "dense_vi", "dense_policy",
     "TTVISolution", "tt_vi",
     "TTPISolution", "tt_pi",
-    "FusedVISolution", "fused_tt_vi",
+    "FusedVISolution", "fused_tt_vi", "fused_tt_vi_refined",
 ]

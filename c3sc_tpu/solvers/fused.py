@@ -188,6 +188,60 @@ def _interp_from_rows(qe, rows, r_new):
     return jnp.linalg.solve(sub.T, qe.T).T
 
 
+def _interp_from_rows_ls(qe, rows, r_new, s_rows):
+    """Rectangular-maxvol core G = qe pinv(qe[rows]) [m, R] with
+    ``s_rows >= r_new`` active sample rows (Mikhalev-Oseledets
+    rect-maxvol).
+
+    The square interpolation core is an OBLIQUE projector whose norm the
+    d-fold core chain amplifies — measured on the 9^6 quadcopter, the
+    assembled sweep operator diverges outright when its pivot/rank
+    adaptation is frozen (res 0.05 -> 1.5) and churns at ~11% of the value
+    range when coupled, independent of rank cap. Oversampling replaces the
+    inverse with a least-squares fit onto the same column basis: with ~2x
+    rows the fit approaches an orthogonal projection on the sampled rows
+    and the chain's amplification collapses. ``s_rows == r_new`` recovers
+    the square scheme exactly (pinv of a square nonsingular matrix).
+
+    The bond then CARRIES s_rows columns (rank r_new content, zero-padded
+    beyond s_rows); the active-row mask lives in the rows' one-hot pattern:
+    rows beyond s_rows map to sub-rows that are zeroed before the normal
+    equations.
+    """
+    m, R = qe.shape
+    col = jnp.arange(R)
+    sub = qe[rows]                               # [R(s-pad), R(col-pad)]
+    sub = sub * (jnp.arange(R) < s_rows).astype(qe.dtype)[:, None]
+    sub = sub * (col < r_new).astype(qe.dtype)[None, :]
+    # normal equations with scaled ridge; inactive cols get identity so the
+    # solve stays nonsingular and their G columns are exactly zero below
+    Gm = sub.T @ sub
+    ridge = 1e-6 * jnp.maximum(jnp.trace(Gm) / jnp.maximum(r_new, 1), 1e-30)
+    Gm = Gm + ridge * jnp.eye(R, dtype=qe.dtype)
+    Gm = Gm + jnp.diag((col >= r_new).astype(qe.dtype))
+    X = jnp.linalg.solve(Gm, sub.T)              # [R(col), R(s)] = pinv(sub)
+    G = (qe * (col < r_new).astype(qe.dtype)[None, :]) @ X   # [m, R(s-pad)]
+    return G * (jnp.arange(R) < s_rows).astype(qe.dtype)[None, :]
+
+
+def _extend_rows(qe, rows, r_new, s_rows):
+    """Extend r_new maxvol rows to ``s_rows`` total by top leverage (row
+    norm of the orthonormal basis), excluding already-selected rows."""
+    m, R = qe.shape
+    lev = jnp.sum(qe * qe, axis=1)
+    taken = jnp.zeros((m,), bool)
+    sel_mask = jnp.arange(R) < r_new
+    taken = taken.at[rows].set(sel_mask | taken[rows])
+    lev = jnp.where(taken, -jnp.inf, lev)
+    _, extra = jax.lax.top_k(lev, R)             # [R] candidate extensions
+    ext_col = jnp.arange(R)
+    # positions [r_new, s_rows) take extension rows; beyond s_rows keep 0
+    ext_idx = jnp.clip(ext_col - r_new, 0, R - 1)
+    out = jnp.where(ext_col < r_new, rows,
+                    jnp.where(ext_col < s_rows, extra[ext_idx], 0))
+    return out.astype(jnp.int32)
+
+
 def _pivot_rows(qe, r_new, n_swaps: int | None = None):
     """Maxvol pivot rows: partial-pivoted LU seed + greedy swap refinement.
 
@@ -388,7 +442,12 @@ def make_structured_fiber_eval(grid: Grid, k: int, rmax: int, dtype=jnp.float32)
             parts_m.append(jnp.einsum("ans,bms->manb", p0G, Sm))
         vp = jnp.concatenate(parts_p, axis=0)
         vm = jnp.concatenate(parts_m, axis=0)
-        return vp, vm  # [d, R, n, R] each
+        # center values at the block nodes themselves, one extra einsum on
+        # the shared right product — a per-point gather-eval here would
+        # materialize [B, R, R] gathered cores (at the 9^6 base-mode solve:
+        # 36.9k x 64 x 64 f32 = 604 MB per dim, which faulted the chip)
+        v0 = jnp.einsum("ar,rnb->anb", p0, Gs0)
+        return vp, vm, v0  # [d, R, n, R] x2, [R, n, R]
 
     return fn
 
@@ -415,8 +474,40 @@ def make_fused_vi(
     mesh=None,
     refine_steps: int = 0,
     refine_method: str = "pgd",
+    target_mode: str = "self",
+    n_inner: int = 1,
+    debug_identity: bool = False,
+    base: TT | None = None,
+    oversample: float = 0.0,
 ):
     """Build the jitted fused solver. Returns a ``FusedSolver`` bundle.
+
+    ``oversample``: rectangular-maxvol oversampling factor. 0 (default) is
+    the square interpolation scheme; ``os > 0`` carries
+    ``s = ceil((1+os) r)`` sample rows per bond and builds cores by
+    least-squares onto the fitted basis (``_interp_from_rows_ls``) — the
+    projector norm collapses toward an orthogonal projection's, stabilizing
+    deep (6D+) sweeps whose square-interpolation chain is unstable. Fit
+    ranks are capped at R/(1+os) so the extended rows fit the padding.
+
+    ``base``: optional FIXED value-function TT. When given, the solver
+    solves the RESIDUAL fixed point w = T(base + w) - base: fiber
+    evaluation backs up the TOTAL value (base neighbors added, terminal
+    pinning and value bounds applied to the total) and fits only the
+    correction w. This is the engine of iterative refinement
+    (``fused_tt_vi_refined``): the cross projector's fit error scales with
+    the FITTED function's own magnitude, so solving for a small correction
+    against a frozen base contracts the total error geometrically where a
+    direct solve floors at fit-error x 1/(1-gamma).
+
+    ``target_mode``: ``'self'`` (default) couples fitting and evaluation —
+    each half sweep evaluates the backup of the evolving iterate; cheapest,
+    converges on 2-4D problems. ``'frozen'`` evaluates every fiber of an
+    iteration against the FIXED sweep-entry iterate (the reference's
+    ``ftapprox_cross``-per-VI-step structure, SURVEY.md §3.1), running
+    ``n_inner`` index-refinement sweeps per iteration. Use for 6D+ where
+    the coupled scheme's pivot/fit feedback floors the value error at ~11%
+    regardless of rank cap (measured, 9^6 quadcopter vs dense oracle).
 
     ``freeze_after``: windows without long-residual improvement before the
     sticky adaptation-freeze latch engages (see ``body``); the frozen sweep
@@ -474,6 +565,7 @@ def make_fused_vi(
 
     bond_cap = [min(math.prod(shape[:k]), math.prod(shape[k:]), R)
                 for k in range(d + 1)]
+    fit_cap = int(R / (1.0 + oversample)) if oversample > 0 else R
     uc = jnp.asarray(controls, dtype)
     rng = np.random.default_rng(777)
     sample_idx = jnp.asarray(
@@ -506,9 +598,13 @@ def make_fused_vi(
         probe_key = jax.random.key(31337)
 
         def _probe_cost(v_tt: TT):
-            pol = make_implicit_policy(
-                problem, grid, lambda p: tt_lerp_eval(v_tt, grid, p), uc
-            )
+            if base is not None:
+                vfn = lambda p: (tt_lerp_eval(v_tt, grid, p)
+                                 + tt_lerp_eval(TT(base_cores, base_ranks),
+                                                grid, p))
+            else:
+                vfn = lambda p: tt_lerp_eval(v_tt, grid, p)
+            pol = make_implicit_policy(problem, grid, vfn, uc)
             traj = _rollout(problem, grid, pol, probe_x0, probe_key,
                             probe_dt, probe_steps, policy_every=2)
             return jnp.mean(traj.cost).astype(dtype)
@@ -526,13 +622,37 @@ def make_fused_vi(
         make_structured_fiber_eval(grid, k, R, dtype) for k in range(d)
     ]
     vb = problem.value_bounds
+    if base is not None:
+        R_base = base.cores[0].shape[0]
+        base_cores = tuple(jnp.asarray(c, dtype) for c in base.cores)
+        base_ranks = jnp.asarray(base.ranks, jnp.int32)
+        # the base may be padded differently from the correction's cap;
+        # its structured evaluator is built at ITS padding and shares the
+        # correction's index sets (row counts are free axes)
+        struct_eval_base = [
+            make_structured_fiber_eval(grid, k, R_base, dtype)
+            for k in range(d)
+        ]
 
     def _eval_fibers(cores, ranks, k, left_k, right_k1):
         """Bellman backup on the structured fiber block via the amortized
         neighbor evaluator (no per-point TT gathers)."""
+        if debug_identity:
+            # diagnostic mode: fit the TARGET ITSELF (no Bellman backup) —
+            # isolates the cross fitting/pivoting machinery from the
+            # operator. An exactly-representable target must reconstruct
+            # to ~f32; anything worse is a fitting defect.
+            flat_idx = _build_idx(k, left_k, right_k1).reshape(-1, d)
+            val = tt_gather_eval(TT(cores, ranks), flat_idx)
+            return val.astype(dtype).reshape(R, shape[k], R)
         del ranks  # padded-zero cores make the products exact on their own
         n = shape[k]
-        vp, vm = struct_eval[k](cores, left_k, right_k1)   # [d, R, n, R] x2
+        vp, vm, _ = struct_eval[k](cores, left_k, right_k1)  # [d, R, n, R]
+        if base is not None:
+            # back up the TOTAL value: neighbors of base + correction
+            vpb, vmb, base_v0 = struct_eval_base[k](base_cores, left_k,
+                                                    right_k1)
+            vp, vm = vp + vpb, vm + vmb
         B = R * n * R
         flat_idx = _build_idx(k, left_k, right_k1).reshape(-1, d)
         x = grid.index_to_state(flat_idx).astype(dtype)    # [B, d]
@@ -607,7 +727,140 @@ def make_fused_vi(
         val = jnp.nan_to_num(val, nan=vb[1] if vb is not None else 0.0,
                              posinf=vb[1] if vb is not None else 1e12,
                              neginf=vb[0] if vb is not None else -1e12)
+        if base is not None:
+            # fit only the correction: w-block = (pinned, bounded) total
+            # backup minus the frozen base at the block nodes (center
+            # values from the structured evaluator — NOT a gather-eval)
+            val = val - base_v0.reshape(-1)
         return val.astype(dtype).reshape(R, n, R)
+
+    def one_sweep(st, tgt_cores, tgt_ranks, frozen, in_warmup,
+                  self_targeted: bool):
+        """One full cross sweep (L2R + R2L) fitting the Bellman backup of a
+        TARGET value function.
+
+        ``self_targeted=True`` is the original coupled scheme: the L2R half
+        evaluates the backup of the sweep-entry iterate and the R2L half
+        evaluates the backup of the just-fitted mid-sweep TT (Gauss-Seidel
+        flavored, cheapest per sweep). ``False`` evaluates BOTH halves
+        against the fixed (tgt_cores, tgt_ranks) — the reference's
+        ``ftapprox_cross`` semantics where the cross target is the frozen
+        previous iterate (SURVEY.md §3.1: cross per VI iteration runs
+        against bellman_fiber of v_k). The frozen-target form is what keeps
+        the projector error from compounding through the iteration map —
+        measured on the 9^6 quadcopter, the coupled scheme's pivot/fit
+        feedback floors at ~11% value error at EVERY rank cap while its
+        latched-frozen operator diverges outright (res 0.05 -> 1.5)."""
+        (cores_prev, ranks_prev, left, right, rl, rr, rows_l, rows_r) = st
+        new_cores = list(cores_prev)
+        new_ranks = [jnp.asarray(1, jnp.int32)] * (d + 1)
+
+        def prev_fit(s_prev):
+            # bond sizes store the SAMPLE count s = ceil((1+os) r); recover
+            # the fit rank for the monotone-rank hysteresis
+            if oversample <= 0:
+                return s_prev
+            return jnp.ceil(s_prev / (1.0 + oversample)).astype(jnp.int32)
+
+        def fit_core(qe, rows_prev, r_new, r_prev_fit, cap):
+            """Pivot rows + core for the selected scheme; returns
+            (rows, G, bond_new)."""
+            rows = _hysteresis_rows(qe, rows_prev, r_new, r_prev_fit,
+                                    in_warmup, frozen)
+            if oversample <= 0:
+                return rows, _interp_from_rows(qe, rows, r_new), r_new
+            s_new = jnp.clip(
+                jnp.ceil((1.0 + oversample) * r_new).astype(jnp.int32),
+                r_new, jnp.minimum(cap, R))
+            rows = _extend_rows(qe, rows, r_new, s_new)
+            return rows, _interp_from_rows_ls(qe, rows, r_new, s_new), s_new
+
+        # ---------------- left-to-right half sweep ----------------
+        for k in range(d - 1):
+            n = shape[k]
+            vals = _eval_fibers(tgt_cores, tgt_ranks, k, left[k], right[k + 1])
+            row_mask = jnp.repeat((jnp.arange(R) < rl[k]), n).astype(dtype)
+            col_mask = (jnp.arange(R) < rr[k + 1]).astype(dtype)
+            C = vals.reshape(R * n, R) * row_mask[:, None] * col_mask[None, :]
+            cap_k = jnp.minimum(rl[k] * n, bond_cap[k + 1])
+            # with oversampling the fit rank must leave room for its
+            # extended sample rows within the static padding
+            cap_fit = jnp.minimum(cap_k, fit_cap)
+            qe, r_need, r_new = _orth_basis_and_rank(
+                C, noise_l2r[k], eps_rank, kick, cap_fit, row_mask,
+                prev_fit(rl[k + 1]), frozen,
+            )
+            rows, G, bond_new = fit_core(qe, rows_l[k], r_new,
+                                         prev_fit(rl[k + 1]), cap_k)
+            rows_l = rows_l.at[k].set(rows)
+            new_cores[k] = G.reshape(R, n, R)
+            a, i = rows // n, rows % n
+            newleft = jnp.where(
+                dimcol[None, :] < k, left[k][a],
+                jnp.where(dimcol[None, :] == k, i[:, None], 0),
+            ).astype(jnp.int32)
+            left = left.at[k + 1].set(newleft)
+            rl = rl.at[k + 1].set(bond_new)
+            new_ranks[k + 1] = bond_new
+        # last core: direct evaluation
+        n = shape[d - 1]
+        vals = _eval_fibers(tgt_cores, tgt_ranks, d - 1, left[d - 1], right[d])
+        row_mask = jnp.repeat((jnp.arange(R) < rl[d - 1]), n).astype(dtype)
+        C = vals.reshape(R * n, R) * row_mask[:, None]
+        C = C * (jnp.arange(R) < 1).astype(dtype)[None, :]
+        new_cores[d - 1] = C.reshape(R, n, R)
+        ranks_mid = jnp.stack(
+            [jnp.asarray(1, jnp.int32)] + [rl[k + 1] for k in range(d - 1)]
+            + [jnp.asarray(1, jnp.int32)]
+        )
+        # mid-sweep TT (left-interpolatory)
+        cores_mid = tuple(new_cores)
+        if self_targeted:
+            r2l_cores, r2l_ranks = cores_mid, ranks_mid
+        else:
+            r2l_cores, r2l_ranks = tgt_cores, tgt_ranks
+
+        # ---------------- right-to-left half sweep ----------------
+        for k in range(d - 1, 0, -1):
+            n = shape[k]
+            vals = _eval_fibers(r2l_cores, r2l_ranks, k, left[k], right[k + 1])
+            # rows = (i, b), cols = a
+            M = vals.transpose(1, 2, 0).reshape(n * R, R)
+            row_mask = jnp.tile((jnp.arange(R) < rr[k + 1]), n).astype(dtype)
+            col_mask = (jnp.arange(R) < rl[k]).astype(dtype)
+            M = M * row_mask[:, None] * col_mask[None, :]
+            cap_k = jnp.minimum(rr[k + 1] * n, bond_cap[k])
+            cap_fit = jnp.minimum(cap_k, fit_cap)
+            qe, r_need, r_new = _orth_basis_and_rank(
+                M, noise_r2l[k], eps_rank, kick, cap_fit, row_mask,
+                prev_fit(rr[k]), frozen,
+            )
+            rows, G, bond_new = fit_core(qe, rows_r[k], r_new,
+                                         prev_fit(rr[k]), cap_k)
+            rows_r = rows_r.at[k].set(rows)
+            # core k: [c, i, b] = G[(i, b), c]
+            new_cores[k] = G.reshape(n, R, R).transpose(2, 0, 1)
+            i, b = rows // R, rows % R
+            newright = jnp.where(
+                dimcol[None, :] > k, right[k + 1][b],
+                jnp.where(dimcol[None, :] == k, i[:, None], 0),
+            ).astype(jnp.int32)
+            right = right.at[k].set(newright)
+            rr = rr.at[k].set(bond_new)
+            new_ranks[k] = bond_new
+        # first core: direct evaluation against new right sets
+        n = shape[0]
+        vals = _eval_fibers(r2l_cores, r2l_ranks, 0, left[0], right[1])
+        col_mask = (jnp.arange(R) < rr[1]).astype(dtype)
+        C0 = vals[:1] * col_mask[None, None, :]  # row 0 only
+        new_cores[0] = jnp.concatenate(
+            [C0, jnp.zeros((R - 1, n, R), dtype)], axis=0
+        )
+        new_ranks[0] = jnp.asarray(1, jnp.int32)
+        new_ranks[d] = jnp.asarray(1, jnp.int32)
+        ranks_new = jnp.stack(new_ranks)
+        return (tuple(new_cores), ranks_new, left, right, rl, rr,
+                rows_l, rows_r)
 
     def body(carry: FusedCarry) -> FusedCarry:
         # Adaptation freeze — two triggers:
@@ -639,90 +892,23 @@ def make_fused_vi(
         )
         frozen_latch = carry.frozen & ~emergency
         frozen = frozen_latch | (carry.residual < freeze_res)
-        cores_prev, ranks_prev = carry.cores, carry.ranks
-        left, right, rl, rr = carry.left, carry.right, carry.rl, carry.rr
-        rows_l, rows_r = carry.rows_l, carry.rows_r
-        new_cores = list(cores_prev)
-        new_ranks = [jnp.asarray(1, jnp.int32)] * (d + 1)
-
-        # ---------------- left-to-right half sweep ----------------
-        for k in range(d - 1):
-            n = shape[k]
-            vals = _eval_fibers(cores_prev, ranks_prev, k, left[k], right[k + 1])
-            row_mask = jnp.repeat((jnp.arange(R) < rl[k]), n).astype(dtype)
-            col_mask = (jnp.arange(R) < rr[k + 1]).astype(dtype)
-            C = vals.reshape(R * n, R) * row_mask[:, None] * col_mask[None, :]
-            qe, r_need, r_new = _orth_basis_and_rank(
-                C, noise_l2r[k], eps_rank, kick,
-                jnp.minimum(rl[k] * n, bond_cap[k + 1]), row_mask,
-                rl[k + 1], frozen,
-            )
-            rows = _hysteresis_rows(qe, rows_l[k], r_new, rl[k + 1],
-                                    carry.it < carry.warm_until, frozen)
-            rows_l = rows_l.at[k].set(rows)
-            G = _interp_from_rows(qe, rows, r_new)
-            new_cores[k] = G.reshape(R, n, R)
-            a, i = rows // n, rows % n
-            newleft = jnp.where(
-                dimcol[None, :] < k, left[k][a],
-                jnp.where(dimcol[None, :] == k, i[:, None], 0),
-            ).astype(jnp.int32)
-            left = left.at[k + 1].set(newleft)
-            rl = rl.at[k + 1].set(r_new)
-            new_ranks[k + 1] = r_new
-        # last core: direct evaluation
-        n = shape[d - 1]
-        vals = _eval_fibers(cores_prev, ranks_prev, d - 1, left[d - 1], right[d])
-        row_mask = jnp.repeat((jnp.arange(R) < rl[d - 1]), n).astype(dtype)
-        C = vals.reshape(R * n, R) * row_mask[:, None]
-        C = C * (jnp.arange(R) < 1).astype(dtype)[None, :]
-        new_cores[d - 1] = C.reshape(R, n, R)
-        ranks_mid = jnp.stack(
-            [jnp.asarray(1, jnp.int32)] + [rl[k + 1] for k in range(d - 1)]
-            + [jnp.asarray(1, jnp.int32)]
-        )
-        # mid-sweep TT (left-interpolatory)
-        cores_mid = tuple(new_cores)
-
-        # ---------------- right-to-left half sweep ----------------
-        for k in range(d - 1, 0, -1):
-            n = shape[k]
-            vals = _eval_fibers(cores_mid, ranks_mid, k, left[k], right[k + 1])
-            # rows = (i, b), cols = a
-            M = vals.transpose(1, 2, 0).reshape(n * R, R)
-            row_mask = jnp.tile((jnp.arange(R) < rr[k + 1]), n).astype(dtype)
-            col_mask = (jnp.arange(R) < rl[k]).astype(dtype)
-            M = M * row_mask[:, None] * col_mask[None, :]
-            qe, r_need, r_new = _orth_basis_and_rank(
-                M, noise_r2l[k], eps_rank, kick,
-                jnp.minimum(rr[k + 1] * n, bond_cap[k]), row_mask,
-                rr[k], frozen,
-            )
-            rows = _hysteresis_rows(qe, rows_r[k], r_new, rr[k],
-                                    carry.it < carry.warm_until, frozen)
-            rows_r = rows_r.at[k].set(rows)
-            G = _interp_from_rows(qe, rows, r_new)
-            # core k: [c, i, b] = G[(i, b), c]
-            new_cores[k] = G.reshape(n, R, R).transpose(2, 0, 1)
-            i, b = rows // R, rows % R
-            newright = jnp.where(
-                dimcol[None, :] > k, right[k + 1][b],
-                jnp.where(dimcol[None, :] == k, i[:, None], 0),
-            ).astype(jnp.int32)
-            right = right.at[k].set(newright)
-            rr = rr.at[k].set(r_new)
-            new_ranks[k] = r_new
-        # first core: direct evaluation against new right sets
-        n = shape[0]
-        vals = _eval_fibers(cores_mid, ranks_mid, 0, left[0], right[1])
-        col_mask = (jnp.arange(R) < rr[1]).astype(dtype)
-        C0 = vals[:1] * col_mask[None, None, :]  # row 0 only
-        new_cores[0] = jnp.concatenate(
-            [C0, jnp.zeros((R - 1, n, R), dtype)], axis=0
-        )
-        new_ranks[0] = jnp.asarray(1, jnp.int32)
-        new_ranks[d] = jnp.asarray(1, jnp.int32)
-        ranks_new = jnp.stack(new_ranks)
+        in_warmup = carry.it < carry.warm_until
+        st = (carry.cores, carry.ranks, carry.left, carry.right,
+              carry.rl, carry.rr, carry.rows_l, carry.rows_r)
+        if target_mode == "frozen":
+            # reference semantics: all fiber evaluations across the
+            # n_inner sweeps target the backup of the SWEEP-ENTRY iterate;
+            # inner sweeps only refine index sets/ranks for that fixed
+            # target (classic cross-on-a-static-function, which converges
+            # where the coupled scheme churns)
+            for _ in range(n_inner):
+                st = one_sweep(st, carry.cores, carry.ranks, frozen,
+                               in_warmup, self_targeted=False)
+        else:
+            st = one_sweep(st, carry.cores, carry.ranks, frozen,
+                           in_warmup, self_targeted=True)
+        (new_cores, ranks_new, left, right, rl, rr, rows_l, rows_r) = st
+        new_cores = list(new_cores)
 
         v_new = TT(tuple(new_cores), ranks_new)
         new_sample = tt_gather_eval(v_new, sample_idx)
@@ -1029,6 +1215,10 @@ def fused_tt_vi(
     mesh=None,
     refine_steps: int = 0,
     refine_method: str = "pgd",
+    target_mode: str = "self",
+    n_inner: int = 1,
+    base: TT | None = None,
+    oversample: float = 0.0,
     metrics=None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
@@ -1073,6 +1263,8 @@ def fused_tt_vi(
             probe_steps=probe_steps, probe_dt=probe_dt, probe_x0=probe_x0,
             dtype=dtype, mesh=mesh,
             refine_steps=refine_steps, refine_method=refine_method,
+            target_mode=target_mode, n_inner=n_inner, base=base,
+            oversample=oversample,
         )
 
     cur_rmax = rmax
@@ -1308,8 +1500,11 @@ def fused_tt_vi(
 
         def _vcost(cores, ranks):
             vtt = TT(cores, ranks)
-            pol = _mip(problem, grid,
-                       lambda p: _tle(vtt, grid, p), jnp.asarray(controls, dtype))
+            if base is not None:
+                vfn = lambda p: _tle(vtt, grid, p) + _tle(base, grid, p)
+            else:
+                vfn = lambda p: _tle(vtt, grid, p)
+            pol = _mip(problem, grid, vfn, jnp.asarray(controls, dtype))
             tr = _roll(problem, grid, pol, vx0, vkey, probe_dt,
                        2 * probe_steps, policy_every=2)
             return float(np.asarray(tr.cost).mean())
@@ -1342,3 +1537,96 @@ def fused_tt_vi(
         wall_time=wall, carry=out, controls=np.asarray(controls),
         probe_cost=float(out.best_cost),
     )
+
+
+def fused_tt_vi_refined(
+    problem: ControlProblem,
+    grid: Grid,
+    controls=None,
+    n_controls: int = 9,
+    rounds: int = 2,
+    rmax: int = 16,
+    total_round_tol: float = 1e-6,
+    key=None,
+    **kw,
+) -> FusedVISolution:
+    """Residual-corrected fused VI — iterative refinement over the cross
+    projector's error floor.
+
+    A single projected solve's fixed point carries the cross fit error
+    amplified by ~1/(1 - gamma_eff): measured on the 9^6 quadcopter at
+    rank 32, a one-shot cross fit of the backup reaches q95 ~0.8% of the
+    value range (2x the SVD-optimal 0.38%), but the solve floors at ~11% —
+    a ~14x amplification no per-sweep accuracy can close. Because the
+    cross fit error is RELATIVE to the fitted function's own scale, solving
+    the residual equation
+
+        w_i = T(vbar_i + w_i) - vbar_i,   vbar_{i+1} = vbar_i + w_i
+
+    with the SAME solver contracts the total error by the same amplified-
+    fit factor per round (~7x/round measured). The total is accumulated
+    exactly (block-diagonal tt_add at growing padding) and compressed with
+    one final TT-round. The reference has no analogue — C3's cross simply
+    floors (SURVEY.md §2.2); this is the TPU build's answer to the 6D
+    parity requirement (BASELINE.json north_star <=1%; VERDICT r2 next #1).
+
+    ``rounds``: number of correction solves after the base solve. ``kw``
+    is passed to every ``fused_tt_vi`` call (probe_rollouts, tol, mesh,
+    target_mode, ...).
+    """
+    if key is None:
+        key = jax.random.key(0)
+    if controls is None:
+        controls = problem.control_candidates(n_controls)
+    keys = jax.random.split(key, rounds + 1)
+    sol = fused_tt_vi(problem, grid, controls=controls, rmax=rmax,
+                      key=keys[0], **kw)
+    total = sol.v
+    iters = sol.iterations
+    walls = sol.wall_time
+    from c3sc_tpu.ops.tt import _repad, tt_add, tt_round
+    from c3sc_tpu.solvers.ttvi import bellman_residual_sample
+
+    bres, _ = bellman_residual_sample(problem, grid, controls, total)
+    bres = float(bres)
+    history = [dict(round=0, residual=sol.residual, bellman_res=bres,
+                    probe_cost=sol.probe_cost, wall_s=sol.wall_time)]
+    accepted_rounds, attempts = 0, 0
+    rkey = keys[-1]
+    while accepted_rounds < rounds and attempts < 2 * rounds:
+        attempts += 1
+        rkey, sk = jax.random.split(rkey)
+        sol_w = fused_tt_vi(problem, grid, controls=controls, rmax=rmax,
+                            key=sk, base=total, **kw)
+        # exact block-diagonal sum at a padding that fits both
+        Rt = total.rmax + sol_w.v.rmax
+        cand = tt_add(_repad(total, Rt), _repad(sol_w.v, Rt),
+                      on_overflow="raise")
+        iters += sol_w.iterations
+        walls += sol_w.wall_time
+        # accept/reject on the MEASURED sampled Bellman residual — the
+        # oracle-free contraction bound ||v - v*|| <= ||Tv - v||/(1-gamma).
+        # A correction solve that churned above its fixed point's scale
+        # (measured: square-scheme w on the 9^6 quadcopter overshot 4x and
+        # DEGRADED the total 11% -> 26%) must never poison the result. A
+        # rejected round costs one retry with a fresh pivot lineage.
+        bres_c, _ = bellman_residual_sample(problem, grid, controls, cand)
+        bres_c = float(bres_c)
+        accepted = bres_c < bres
+        history.append(dict(round=accepted_rounds + 1,
+                            residual=sol_w.residual,
+                            bellman_res=bres_c, accepted=accepted,
+                            probe_cost=sol_w.probe_cost,
+                            wall_s=sol_w.wall_time))
+        if accepted:
+            accepted_rounds += 1
+            total, bres = cand, bres_c
+    # one compression pass: the exact sum usually carries redundant rank
+    total = tt_round(total, total_round_tol)
+    out = FusedVISolution(
+        v=total, residual=history[-1]["residual"], iterations=iters,
+        wall_time=walls, carry=sol.carry, controls=sol.controls,
+        probe_cost=history[-1]["probe_cost"],
+    )
+    out.refine_history = history
+    return out

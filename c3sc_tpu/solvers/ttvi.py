@@ -148,6 +148,30 @@ def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
     return jnp.where(tm, tv.astype(dtype), val).astype(dtype)
 
 
+def bellman_residual_sample(problem: ControlProblem, grid: Grid, controls,
+                            v_tt: TT, n_samples: int = 4096, seed: int = 7,
+                            dtype=jnp.float32):
+    """Sampled Bellman residual sup|T v - v| / scale at random nodes.
+
+    The oracle-free convergence measure: the contraction bound
+    ``||v - v*|| <= ||T v - v||/(1 - gamma)`` makes this the honest
+    quality metric when no dense solve exists (6D+). Used by
+    ``fused_tt_vi_refined`` to accept/reject correction rounds and by the
+    Diag stream (reference ``struct Diag``, SURVEY.md §5).
+    Returns (residual_rel, scale): max |T v - v| over the sample and the
+    value scale it was normalized by.
+    """
+    rng = np.random.default_rng(seed)
+    idx = jnp.asarray(
+        np.stack([rng.integers(0, n, n_samples) for n in grid.shape], -1),
+        jnp.int32)
+    uc = jnp.asarray(controls, dtype)
+    tv = bellman_backup(problem, grid, uc, v_tt, idx, dtype)
+    v = tt_gather_eval(v_tt, idx).astype(dtype)
+    scale = jnp.maximum(jnp.max(jnp.abs(v)), 1e-12)
+    return (jnp.max(jnp.abs(tv - v)) / scale).astype(dtype), scale
+
+
 def make_bellman_kernel(problem: ControlProblem, grid: Grid, controls,
                         chunk: int = 4096, dtype=jnp.float32,
                         refine_steps: int = 0, refine_method: str = "pgd"):

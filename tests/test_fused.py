@@ -198,3 +198,44 @@ def test_fused_v0_cross_rank_warm_start():
         with pytest.raises(ValueError, match="active ranks"):
             fused_tt_vi(prob, grid, n_controls=9, rmax=6, v0=s12.v,
                         key=jax.random.key(3), tol=1e-4, max_iters=10)
+
+
+def test_fused_refined_beats_plain_at_starved_rank():
+    """Iterative refinement (fused_tt_vi_refined): solving the residual
+    equation w = T(base + w) - base contracts the projected-VI error floor
+    geometrically per round, because cross fit error scales with the fitted
+    function's own magnitude. Measured here on a rank-starved pendulum
+    (rank 8 on a 21^2 grid, true epsilon-rank ~18): the plain solve floors
+    near 19% of the value range while two correction rounds land under 3%.
+    This is the mechanism behind the 6D quadcopter parity artifact
+    (NORTHSTAR.json; VERDICT r2 next #1)."""
+    from c3sc_tpu.ops.tt import tt_full
+    from c3sc_tpu.solvers.fused import fused_tt_vi_refined
+
+    prob = make_pendulum_problem()
+    grid = prob.default_grid(21)
+    controls = prob.control_candidates(5)
+    dsol = dense_vi(prob, grid, controls=controls, tol=1e-6, max_outer=3000)
+    vd = np.asarray(dsol.v)
+    vrange = vd.max() - vd.min()
+
+    plain = fused_tt_vi(prob, grid, controls=controls, rmax=8,
+                        key=jax.random.key(0), tol=1e-4, max_iters=800,
+                        patience=20)
+    q95_plain = np.quantile(np.abs(np.asarray(tt_full(plain.v)) - vd)
+                            / vrange, 0.95)
+
+    ref = fused_tt_vi_refined(prob, grid, controls=controls, rounds=2,
+                              rmax=8, key=jax.random.key(0), tol=1e-4,
+                              max_iters=800, patience=20)
+    q95_ref = np.quantile(np.abs(np.asarray(tt_full(ref.v)) - vd)
+                          / vrange, 0.95)
+    accepted = [h for h in ref.refine_history[1:] if h["accepted"]]
+    assert len(accepted) >= 1
+    # sampled Bellman residual (the accept/reject metric) must improve
+    # monotonically over accepted rounds
+    bres = [ref.refine_history[0]["bellman_res"]] + [h["bellman_res"]
+                                                     for h in accepted]
+    assert all(b2 < b1 for b1, b2 in zip(bres, bres[1:])), bres
+    assert q95_ref < 0.04, f"refined q95 {q95_ref:.3%}"
+    assert q95_ref < q95_plain / 3, (q95_ref, q95_plain)

@@ -30,7 +30,7 @@ def test_structured_matches_gather(k, periodic):
         np.stack([rng.integers(0, SHAPE[j], R) for j in range(d)], -1), jnp.int32
     )
     fn = make_structured_fiber_eval(grid, k, R)
-    vp, vm = fn(tt.cores, left, right)  # [d, R, n, R]
+    vp, vm, v0 = fn(tt.cores, left, right)  # [d, R, n, R] x2, [R, n, R]
 
     # reference: independent gather evals at shifted indices
     n = SHAPE[k]
@@ -40,6 +40,10 @@ def test_structured_matches_gather(k, periodic):
     I = jnp.broadcast_to(jnp.arange(n)[None, :, None, None], (R, n, R, d))
     idx = jnp.where(dimcol < k, A, jnp.where(dimcol == k, I, B)).astype(jnp.int32)
     flat = idx.reshape(-1, d)
+    # center values (the base-mode w-fit path)
+    ref0 = np.asarray(tt_gather_eval(tt, flat)).reshape(R, n, R)
+    np.testing.assert_allclose(np.asarray(v0), ref0, rtol=2e-4, atol=2e-5,
+                               err_msg=f"center values core {k}")
     for m in range(d):
         for sign, v_struct in ((1, vp), (-1, vm)):
             nb = flat.at[:, m].set(_shift_coord(flat[:, m], m, sign, grid))
