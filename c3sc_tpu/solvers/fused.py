@@ -762,17 +762,34 @@ def make_fused_vi(
                 return s_prev
             return jnp.ceil(s_prev / (1.0 + oversample)).astype(jnp.int32)
 
-        def fit_core(qe, rows_prev, r_new, r_prev_fit, cap):
+        def fit_core(qe, rows_prev, r_new, r_prev_fit, cap, s_prev):
             """Pivot rows + core for the selected scheme; returns
             (rows, G, bond_new)."""
-            rows = _hysteresis_rows(qe, rows_prev, r_new, r_prev_fit,
-                                    in_warmup, frozen)
             if oversample <= 0:
+                rows = _hysteresis_rows(qe, rows_prev, r_new, r_prev_fit,
+                                        in_warmup, frozen)
                 return rows, _interp_from_rows(qe, rows, r_new), r_new
             s_new = jnp.clip(
                 jnp.ceil((1.0 + oversample) * r_new).astype(jnp.int32),
                 r_new, jnp.minimum(cap, R))
-            rows = _extend_rows(qe, rows, r_new, s_new)
+            # a frozen sweep must hold the bond size exactly (an odd s
+            # reconstructs to s+1 through the ceil round-trip, and the
+            # resulting mask flip re-excites the oscillation the freeze
+            # exists to kill)
+            s_new = jnp.where(frozen, s_prev, s_new)
+            # the leverage EXTENSION must live inside the hysteresis/freeze
+            # decision: recomputing it from each sweep's fresh basis made
+            # the "frozen" rect operator nondeterministic — measured on the
+            # 9^6 quadcopter, a latched-frozen rect solve still oscillated
+            # at res 0.04-0.18 because its extension rows churned
+            rows_new = _extend_rows(qe, _pivot_rows(qe, r_new), r_new, s_new)
+            switch = (~frozen) & (
+                in_warmup
+                | (r_new != r_prev_fit)
+                | (_logvol(qe, rows_new, r_new)
+                   > _logvol(qe, rows_prev, r_new) + 0.4)
+            )
+            rows = jnp.where(switch, rows_new, rows_prev)
             return rows, _interp_from_rows_ls(qe, rows, r_new, s_new), s_new
 
         # ---------------- left-to-right half sweep ----------------
@@ -791,7 +808,8 @@ def make_fused_vi(
                 prev_fit(rl[k + 1]), frozen,
             )
             rows, G, bond_new = fit_core(qe, rows_l[k], r_new,
-                                         prev_fit(rl[k + 1]), cap_k)
+                                         prev_fit(rl[k + 1]), cap_k,
+                                         rl[k + 1])
             rows_l = rows_l.at[k].set(rows)
             new_cores[k] = G.reshape(R, n, R)
             a, i = rows // n, rows % n
@@ -836,7 +854,7 @@ def make_fused_vi(
                 prev_fit(rr[k]), frozen,
             )
             rows, G, bond_new = fit_core(qe, rows_r[k], r_new,
-                                         prev_fit(rr[k]), cap_k)
+                                         prev_fit(rr[k]), cap_k, rr[k])
             rows_r = rows_r.at[k].set(rows)
             # core k: [c, i, b] = G[(i, b), c]
             new_cores[k] = G.reshape(n, R, R).transpose(2, 0, 1)
