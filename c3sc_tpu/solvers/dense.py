@@ -35,6 +35,7 @@ class DenseSolution:
     sweeps: int               # outer sweeps executed
     residual_history: list    # residual after each outer chunk
     controls: np.ndarray      # [C, du] candidate set used
+    floored: bool = False     # stopped at the f32 residual floor, not tol
 
 
 def neighbor_values(v, grid: Grid):
@@ -173,6 +174,7 @@ def dense_vi(
     history = []
     done = 0
     best_res, stall = float("inf"), 0
+    floored = False
     while done < max_outer:
         n = min(chunk, max_outer - done)
         v, res = step(v, n)
@@ -185,18 +187,25 @@ def dense_vi(
             break
         # plateau stop: in f32 the sup-norm residual bottoms out at the value
         # scale's quantization floor (measured 1.5e-5 on the 9^6 quadcopter)
-        # and never reaches a tighter tol — stop once it stops improving
+        # and never reaches a tighter tol — stop once it stops improving.
+        # GUARDED near the floor (r3 advisor): a weakly discounted problem
+        # (per-chunk contraction > 0.99) improves <1%/chunk while still far
+        # from converged, so the plateau may only engage once res sits
+        # within a modest factor of the quantization floor or of tol.
+        scale = float(jnp.max(jnp.abs(v)))
+        floor_gate = max(100.0 * np.finfo(np.float32).eps * scale, 100.0 * tol)
         if res < best_res * 0.99:
             best_res, stall = res, 0
-        else:
+        elif res < floor_gate:
             stall += 1
             if stall >= 3:
+                floored = True
                 if verbose:
                     print(f"[dense_vi:{problem.name}] residual floor "
                           f"{res:.3e} (no improvement for {stall} chunks)")
                 break
     return DenseSolution(v=v, residual=res, sweeps=done, residual_history=history,
-                         controls=np.asarray(controls))
+                         controls=np.asarray(controls), floored=floored)
 
 
 def dense_policy(problem: ControlProblem, grid: Grid, v, controls, dtype=jnp.float32,

@@ -67,6 +67,13 @@ class FusedCarry(NamedTuple):
     right: jnp.ndarray    # [d+1, R, d] int32
     rl: jnp.ndarray       # [d+1] int32 active left-set sizes
     rr: jnp.ndarray       # [d+1] int32 active right-set sizes
+    # FIT ranks per bond — equal to rl/rr in the square scheme; under
+    # oversampling rl/rr hold the SAMPLE counts s = ceil((1+os) r) and the
+    # fit rank is carried explicitly (r3 advisor: reconstructing it by
+    # ceil-division is not invertible when s was clipped by the bond cap,
+    # which made the hysteresis switch fire permanently at capped bonds)
+    rlf: jnp.ndarray      # [d+1] int32 active left FIT ranks
+    rrf: jnp.ndarray      # [d+1] int32 active right FIT ranks
     rows_l: jnp.ndarray     # [d, R] int32 — pivot rows per core (L2R)
     rows_r: jnp.ndarray     # [d, R] int32 — pivot rows per core (R2L)
     it: jnp.ndarray         # int32
@@ -229,9 +236,13 @@ def _extend_rows(qe, rows, r_new, s_rows):
     norm of the orthonormal basis), excluding already-selected rows."""
     m, R = qe.shape
     lev = jnp.sum(qe * qe, axis=1)
-    taken = jnp.zeros((m,), bool)
     sel_mask = jnp.arange(R) < r_new
-    taken = taken.at[rows].set(sel_mask | taken[rows])
+    # conflict-free scatter (r3 advisor): the maxvol swap can emit duplicate
+    # row ids, and XLA scatter-SET with duplicates is order-undefined — a
+    # padding position's False could overwrite a selected row's True and the
+    # row would re-enter as a leverage extension. scatter-MAX cannot clear.
+    taken = (jnp.zeros((m,), jnp.int32)
+             .at[rows].max(sel_mask.astype(jnp.int32))) > 0
     lev = jnp.where(taken, -jnp.inf, lev)
     _, extra = jax.lax.top_k(lev, R)             # [R] candidate extensions
     ext_col = jnp.arange(R)
@@ -751,31 +762,24 @@ def make_fused_vi(
         measured on the 9^6 quadcopter, the coupled scheme's pivot/fit
         feedback floors at ~11% value error at EVERY rank cap while its
         latched-frozen operator diverges outright (res 0.05 -> 1.5)."""
-        (cores_prev, ranks_prev, left, right, rl, rr, rows_l, rows_r) = st
+        (cores_prev, ranks_prev, left, right, rl, rr, rlf, rrf,
+         rows_l, rows_r) = st
         new_cores = list(cores_prev)
         new_ranks = [jnp.asarray(1, jnp.int32)] * (d + 1)
 
-        def prev_fit(s_prev):
-            # bond sizes store the SAMPLE count s = ceil((1+os) r); recover
-            # the fit rank for the monotone-rank hysteresis
-            if oversample <= 0:
-                return s_prev
-            return jnp.ceil(s_prev / (1.0 + oversample)).astype(jnp.int32)
-
         def fit_core(qe, rows_prev, r_new, r_prev_fit, cap, s_prev):
             """Pivot rows + core for the selected scheme; returns
-            (rows, G, bond_new)."""
+            (rows, G, bond_new, fit_new)."""
             if oversample <= 0:
                 rows = _hysteresis_rows(qe, rows_prev, r_new, r_prev_fit,
                                         in_warmup, frozen)
-                return rows, _interp_from_rows(qe, rows, r_new), r_new
+                return rows, _interp_from_rows(qe, rows, r_new), r_new, r_new
             s_new = jnp.clip(
                 jnp.ceil((1.0 + oversample) * r_new).astype(jnp.int32),
                 r_new, jnp.minimum(cap, R))
-            # a frozen sweep must hold the bond size exactly (an odd s
-            # reconstructs to s+1 through the ceil round-trip, and the
-            # resulting mask flip re-excites the oscillation the freeze
-            # exists to kill)
+            # a frozen sweep must hold the bond size exactly (a changed
+            # sample mask re-excites the oscillation the freeze exists to
+            # kill)
             s_new = jnp.where(frozen, s_prev, s_new)
             # the leverage EXTENSION must live inside the hysteresis/freeze
             # decision: recomputing it from each sweep's fresh basis made
@@ -790,7 +794,8 @@ def make_fused_vi(
                    > _logvol(qe, rows_prev, r_new) + 0.4)
             )
             rows = jnp.where(switch, rows_new, rows_prev)
-            return rows, _interp_from_rows_ls(qe, rows, r_new, s_new), s_new
+            return (rows, _interp_from_rows_ls(qe, rows, r_new, s_new),
+                    s_new, r_new)
 
         # ---------------- left-to-right half sweep ----------------
         for k in range(d - 1):
@@ -805,12 +810,13 @@ def make_fused_vi(
             cap_fit = jnp.minimum(cap_k, fit_cap)
             qe, r_need, r_new = _orth_basis_and_rank(
                 C, noise_l2r[k], eps_rank, kick, cap_fit, row_mask,
-                prev_fit(rl[k + 1]), frozen,
+                rlf[k + 1], frozen,
             )
-            rows, G, bond_new = fit_core(qe, rows_l[k], r_new,
-                                         prev_fit(rl[k + 1]), cap_k,
-                                         rl[k + 1])
+            rows, G, bond_new, fit_new = fit_core(qe, rows_l[k], r_new,
+                                                  rlf[k + 1], cap_k,
+                                                  rl[k + 1])
             rows_l = rows_l.at[k].set(rows)
+            rlf = rlf.at[k + 1].set(fit_new)
             new_cores[k] = G.reshape(R, n, R)
             a, i = rows // n, rows % n
             newleft = jnp.where(
@@ -851,11 +857,12 @@ def make_fused_vi(
             cap_fit = jnp.minimum(cap_k, fit_cap)
             qe, r_need, r_new = _orth_basis_and_rank(
                 M, noise_r2l[k], eps_rank, kick, cap_fit, row_mask,
-                prev_fit(rr[k]), frozen,
+                rrf[k], frozen,
             )
-            rows, G, bond_new = fit_core(qe, rows_r[k], r_new,
-                                         prev_fit(rr[k]), cap_k, rr[k])
+            rows, G, bond_new, fit_new = fit_core(qe, rows_r[k], r_new,
+                                                  rrf[k], cap_k, rr[k])
             rows_r = rows_r.at[k].set(rows)
+            rrf = rrf.at[k].set(fit_new)
             # core k: [c, i, b] = G[(i, b), c]
             new_cores[k] = G.reshape(n, R, R).transpose(2, 0, 1)
             i, b = rows // R, rows % R
@@ -877,7 +884,7 @@ def make_fused_vi(
         new_ranks[0] = jnp.asarray(1, jnp.int32)
         new_ranks[d] = jnp.asarray(1, jnp.int32)
         ranks_new = jnp.stack(new_ranks)
-        return (tuple(new_cores), ranks_new, left, right, rl, rr,
+        return (tuple(new_cores), ranks_new, left, right, rl, rr, rlf, rrf,
                 rows_l, rows_r)
 
     def body(carry: FusedCarry) -> FusedCarry:
@@ -912,7 +919,8 @@ def make_fused_vi(
         frozen = frozen_latch | (carry.residual < freeze_res)
         in_warmup = carry.it < carry.warm_until
         st = (carry.cores, carry.ranks, carry.left, carry.right,
-              carry.rl, carry.rr, carry.rows_l, carry.rows_r)
+              carry.rl, carry.rr, carry.rlf, carry.rrf,
+              carry.rows_l, carry.rows_r)
         if target_mode == "frozen":
             # reference semantics: all fiber evaluations across the
             # n_inner sweeps target the backup of the SWEEP-ENTRY iterate;
@@ -925,7 +933,8 @@ def make_fused_vi(
         else:
             st = one_sweep(st, carry.cores, carry.ranks, frozen,
                            in_warmup, self_targeted=True)
-        (new_cores, ranks_new, left, right, rl, rr, rows_l, rows_r) = st
+        (new_cores, ranks_new, left, right, rl, rr, rlf, rrf,
+         rows_l, rows_r) = st
         new_cores = list(new_cores)
 
         v_new = TT(tuple(new_cores), ranks_new)
@@ -1045,7 +1054,7 @@ def make_fused_vi(
             probe_cost_out = carry.probe_cost
         return FusedCarry(
             cores=tuple(new_cores), ranks=ranks_new, left=left, right=right,
-            rl=rl, rr=rr, rows_l=rows_l, rows_r=rows_r,
+            rl=rl, rr=rr, rlf=rlf, rrf=rrf, rows_l=rows_l, rows_r=rows_r,
             it=carry.it + 1, residual=residual,
             long_res=long_res, wstall=wstall, v_sample=new_sample,
             sample_ref=sample_ref, probe_cost=probe_cost_out,
@@ -1112,6 +1121,7 @@ def make_fused_vi(
             cores=cores, ranks=ranks,
             left=jnp.asarray(left), right=jnp.asarray(right),
             rl=jnp.asarray(r0), rr=jnp.asarray(r0),
+            rlf=jnp.asarray(r0), rrf=jnp.asarray(r0),
             rows_l=jnp.zeros((d, R), jnp.int32),
             rows_r=jnp.zeros((d, R), jnp.int32),
             it=jnp.asarray(0, jnp.int32),
@@ -1605,10 +1615,16 @@ def fused_tt_vi_refined(
     from c3sc_tpu.ops.tt import _repad, tt_add, tt_round
     from c3sc_tpu.solvers.ttvi import bellman_residual_sample
 
-    bres, _ = bellman_residual_sample(problem, grid, controls, total)
-    bres = float(bres)
-    history = [dict(round=0, residual=sol.residual, bellman_res=bres,
+    bres, bscale = bellman_residual_sample(problem, grid, controls, total)
+    # accept/reject on the UNNORMALIZED sup|Tv - v| (r3 advisor): each
+    # candidate's relative residual is normalized by its OWN scale, so a
+    # poisoned correction that inflates max|v| deflates its relative
+    # residual — exactly the overshooting-w failure this guard exists for
+    bres_abs = float(bres) * float(bscale)
+    history = [dict(round=0, residual=sol.residual,
+                    bellman_res=float(bres), bellman_res_abs=bres_abs,
                     probe_cost=sol.probe_cost, wall_s=sol.wall_time)]
+    acc_residual, acc_probe = sol.residual, sol.probe_cost
     accepted_rounds, attempts = 0, 0
     rkey = keys[-1]
     while accepted_rounds < rounds and attempts < 2 * rounds:
@@ -1628,23 +1644,28 @@ def fused_tt_vi_refined(
         # (measured: square-scheme w on the 9^6 quadcopter overshot 4x and
         # DEGRADED the total 11% -> 26%) must never poison the result. A
         # rejected round costs one retry with a fresh pivot lineage.
-        bres_c, _ = bellman_residual_sample(problem, grid, controls, cand)
-        bres_c = float(bres_c)
-        accepted = bres_c < bres
+        bres_c, cscale = bellman_residual_sample(problem, grid, controls,
+                                                 cand)
+        bres_c_abs = float(bres_c) * float(cscale)
+        accepted = bres_c_abs < bres_abs
         history.append(dict(round=accepted_rounds + 1,
                             residual=sol_w.residual,
-                            bellman_res=bres_c, accepted=accepted,
+                            bellman_res=float(bres_c),
+                            bellman_res_abs=bres_c_abs, accepted=accepted,
                             probe_cost=sol_w.probe_cost,
                             wall_s=sol_w.wall_time))
         if accepted:
             accepted_rounds += 1
-            total, bres = cand, bres_c
+            total, bres_abs = cand, bres_c_abs
+            # the returned solution's metrics must describe the ACCEPTED
+            # state, not a possibly-rejected last attempt (r3 advisor)
+            acc_residual, acc_probe = sol_w.residual, sol_w.probe_cost
     # one compression pass: the exact sum usually carries redundant rank
     total = tt_round(total, total_round_tol)
     out = FusedVISolution(
-        v=total, residual=history[-1]["residual"], iterations=iters,
+        v=total, residual=acc_residual, iterations=iters,
         wall_time=walls, carry=sol.carry, controls=sol.controls,
-        probe_cost=history[-1]["probe_cost"],
+        probe_cost=acc_probe,
     )
     out.refine_history = history
     return out

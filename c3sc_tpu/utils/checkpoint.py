@@ -40,8 +40,8 @@ def save_solver_state(path: str, v: TT, state: CrossState | None,
 
 
 _FUSED_SIMPLE_FIELDS = (
-    "ranks", "left", "right", "rl", "rr", "rows_l", "rows_r", "it",
-    "residual", "long_res", "wstall", "v_sample", "sample_ref",
+    "ranks", "left", "right", "rl", "rr", "rlf", "rrf", "rows_l", "rows_r",
+    "it", "residual", "long_res", "wstall", "v_sample", "sample_ref",
     "probe_cost", "best_cost", "ranks_best", "frozen", "freeze_mark",
     "best_long", "best_absdisp", "warm_until",
 )
@@ -132,9 +132,14 @@ def load_fused_carry(path: str, expect: dict | None = None):
     kw = {name: jnp.asarray(data[name]) for name in _FUSED_SIMPLE_FIELDS
           if name in data}
     # fields added after a checkpoint was written default to their
-    # init_fn values (currently only best_absdisp, r3)
+    # init_fn values (best_absdisp, r3) or best-effort reconstructions
+    # (rlf/rrf fit ranks, r4 — exact for the square scheme where they
+    # equal the bond sizes; oversampled pre-r4 checkpoints self-correct
+    # within one unfrozen sweep)
     kw.setdefault("best_absdisp",
                   jnp.asarray(jnp.inf, kw["residual"].dtype))
+    kw.setdefault("rlf", kw["rl"])
+    kw.setdefault("rrf", kw["rr"])
     return FusedCarry(
         cores=tuple(jnp.asarray(data[f"core_{k}"]) for k in range(d)),
         cores_best=tuple(jnp.asarray(data[f"core_best_{k}"]) for k in range(d)),

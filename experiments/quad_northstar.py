@@ -1,4 +1,9 @@
-"""North-star artifact: 6D quadcopter closed-loop self-consistency.
+"""RETIRED self-consistency harness (TT-vs-TT, 10% tolerances).
+
+Superseded by ``quad_dense_oracle.py`` (independent dense-grid oracle,
+3% tolerances) — the r3 verdict flagged this script as a booby trap: it
+must never overwrite the oracle-based ``NORTHSTAR.json`` with a weaker
+criterion. It now writes ``NORTHSTAR_SELFCONSISTENCY.json`` instead.
 
 BASELINE.json north_star: "quadcopter (6D) VI convergence and closed-loop
 control sequence within 1% of reference". The reference binary is
@@ -7,7 +12,7 @@ FIDELITY solve of the same MCA problem: double the rank cap (32 vs 16).
 The production solve must agree with the oracle in the deliverable metric:
 realized closed-loop cost and control sequence under identical noise keys.
 
-Writes NORTHSTAR.json at the repo root with explicit tolerances.
+Writes NORTHSTAR_SELFCONSISTENCY.json at the repo root.
 
 Run: PYTHONPATH=. python -u experiments/quad_northstar.py
 """
@@ -136,7 +141,7 @@ def main():
                      and surv_o >= tol_surv),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "NORTHSTAR.json")
+        os.path.abspath(__file__))), "NORTHSTAR_SELFCONSISTENCY.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
