@@ -34,18 +34,44 @@ _EPS = 1e-10
 def transition(problem: ControlProblem, grid: Grid, x, u):
     """Unbatched stencil at one (x [d], u [m]).
 
-    Returns (p_plus [d], p_minus [d], dt scalar).
+    Returns (p_plus [d], p_minus [d], dt scalar). Non-uniform grids use
+    the unequal-spacing upwind scheme (see ``_stencil_from_fs2``).
     """
     f = problem.drift(x, u)
     s2 = problem.sigma2_diag(x, u)
-    h = jnp.asarray(grid.h, dtype=f.dtype)
-    diffpart = 0.5 * s2 / h**2
-    qj = 2.0 * diffpart + jnp.abs(f) / h
-    q = jnp.sum(qj) + _EPS
-    p_plus = (diffpart + jnp.maximum(f, 0.0) / h) / q
-    p_minus = (diffpart + jnp.maximum(-f, 0.0) / h) / q
-    dt = 1.0 / q
-    return p_plus, p_minus, dt
+    if grid.uniform:
+        h = jnp.asarray(grid.h, dtype=f.dtype)
+        diffpart = 0.5 * s2 / h**2
+        qj = 2.0 * diffpart + jnp.abs(f) / h
+        q = jnp.sum(qj) + _EPS
+        p_plus = (diffpart + jnp.maximum(f, 0.0) / h) / q
+        p_minus = (diffpart + jnp.maximum(-f, 0.0) / h) / q
+        return p_plus, p_minus, 1.0 / q
+    hp, hm = grid.local_h(x)
+    return _stencil_nonuniform(f, s2, hp.astype(f.dtype),
+                               hm.astype(f.dtype))
+
+
+def _stencil_nonuniform(f, s2, hp, hm):
+    """Kushner–Dupuis upwind stencil with unequal spacings h+ / h-
+    (reference: C3 linelm operates on arbitrary node sets — SURVEY.md
+    §2.2; the scheme is the standard non-uniform-grid generalization):
+
+        Q_j  = s2_j/(h+ h-) + f+_j/h+ + f-_j/h-,    Q = sum_j Q_j
+        p+_j = (s2_j/(h+ (h+ + h-)) + f+_j/h+) / Q
+        p-_j = (s2_j/(h- (h+ + h-)) + f-_j/h-) / Q,   dt = 1/Q
+
+    Exactly locally consistent: probabilities sum to 1,
+    E[dx] = f dt, E[dx^2] = s2 dt + O(h f dt); reduces to the uniform
+    scheme when h+ == h-. All shapes broadcast over leading axes.
+    """
+    fp = jnp.maximum(f, 0.0)
+    fm = jnp.maximum(-f, 0.0)
+    qj = s2 / (hp * hm) + fp / hp + fm / hm
+    q = jnp.sum(qj, axis=-1, keepdims=True) + _EPS
+    p_plus = (s2 / (hp * (hp + hm)) + fp / hp) / q
+    p_minus = (s2 / (hm * (hp + hm)) + fm / hm) / q
+    return p_plus, p_minus, 1.0 / q[..., 0]
 
 
 def transition_batch(problem: ControlProblem, grid: Grid, x, u):
@@ -96,8 +122,12 @@ def transition_all_controls(problem: ControlProblem, grid: Grid, x, uc):
         s2 = jax.vmap(
             lambda u: jax.vmap(lambda xx: problem.sigma2_diag(xx, u))(x)
         )(uc)                                                # [C, B, d]
-    h = jnp.asarray(grid.h, dtype=f.dtype)
-    return _stencil_from_fs2(f, s2, h)
+    if grid.uniform:
+        h = jnp.asarray(grid.h, dtype=f.dtype)
+        return _stencil_from_fs2(f, s2, h)
+    hp, hm = grid.local_h(x)                                 # [B, d] each
+    return _stencil_nonuniform(f, s2, hp[None].astype(f.dtype),
+                               hm[None].astype(f.dtype))
 
 
 def stage_cost_all(problem: ControlProblem, x, uc):

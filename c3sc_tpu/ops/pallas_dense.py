@@ -59,6 +59,7 @@ def make_pallas_dense_backup(problem: ControlProblem, grid: Grid, controls,
     uc = jnp.asarray(controls, dtype)
     C = uc.shape[0]
     lb_np = np.asarray(grid.lb, np.float32)
+    assert grid.uniform, "pallas dense sweep: uniform grids only"
     h_np = np.asarray(grid.h, np.float32)
     beta = problem.beta
     vb = problem.value_bounds

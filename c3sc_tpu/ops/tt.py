@@ -408,11 +408,18 @@ def tt_integrate(tt: TT, grid=None, weights: Sequence | None = None) -> jnp.ndar
         if weights is not None:
             w = jnp.asarray(weights[k])
         elif grid is not None:
-            h = float(grid.h[k])
             if grid.periodic[k]:
-                w = jnp.full((n,), h)
-            else:
+                w = jnp.full((n,), float(grid.h[k]))
+            elif grid.uniform:
+                h = float(grid.h[k])
                 w = jnp.full((n,), h).at[0].mul(0.5).at[n - 1].mul(0.5)
+            else:
+                # trapezoid weights on arbitrary nodes: w_i = (gap_l+gap_r)/2
+                gaps = np.diff(grid.nodes(k))
+                w = jnp.asarray(np.concatenate([
+                    gaps[:1] * 0.5,
+                    0.5 * (gaps[1:] + gaps[:-1]),
+                    gaps[-1:] * 0.5]))
         else:
             w = jnp.ones((n,))
         m = jnp.einsum("rns,n->rs", tt.cores[k], w.astype(tt.cores[k].dtype))
@@ -430,6 +437,7 @@ def tt_refine_grid(tt: TT, grid_coarse, grid_fine) -> TT:
     warm.
     """
     assert tt.ndim == grid_coarse.ndim == grid_fine.ndim
+    assert grid_coarse.uniform, "tt_refine_grid: non-uniform coarse grids unsupported"
     cores = []
     for k in range(tt.ndim):
         xf = jnp.asarray(grid_fine.nodes(k))

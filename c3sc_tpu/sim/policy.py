@@ -37,10 +37,10 @@ def q_values(
     uc = jnp.asarray(controls)
     d = problem.dx
     xf = x.reshape(-1, d)
-    h = jnp.asarray(grid.h, xf.dtype)
+    hp, hm = grid.local_h(xf)                                # [B, d] each
     eye = jnp.eye(d, dtype=xf.dtype)
-    nb = jnp.stack([xf[:, None, :] + h[:, None] * eye,
-                    xf[:, None, :] - h[:, None] * eye], axis=1)
+    nb = jnp.stack([xf[:, None, :] + hp[:, :, None] * eye,
+                    xf[:, None, :] - hm[:, :, None] * eye], axis=1)
     vnb = value_fn(nb.reshape(-1, d)).reshape(-1, 2, d)      # [B, 2, d]
     pp, pm, dt = mca.transition_all_controls(problem, grid, xf, uc)
     g = mca.stage_cost_all(problem, xf, uc)                  # [C, B]
@@ -92,11 +92,12 @@ def make_implicit_policy(
         """x [..., d] -> u [..., du]."""
         batch_shape = x.shape[:-1]
         xf = x.reshape(-1, d)  # [B, d]
-        h = jnp.asarray(grid.h, xf.dtype)
-        # neighbor points x +- h_j e_j  -> [B, 2, d(which), d(coord)]
+        # neighbor points x +- h_j(x) e_j -> [B, 2, d(which), d(coord)];
+        # local spacing so the stencil's neighbors match non-uniform grids
+        hp, hm = grid.local_h(xf)
         eye = jnp.eye(d, dtype=xf.dtype)
-        nb = jnp.stack([xf[:, None, :] + h[:, None] * eye,
-                        xf[:, None, :] - h[:, None] * eye], axis=1)
+        nb = jnp.stack([xf[:, None, :] + hp[:, :, None] * eye,
+                        xf[:, None, :] - hm[:, :, None] * eye], axis=1)
         vnb = value_fn(nb.reshape(-1, d)).reshape(-1, 2, d)  # [B, 2, d]
         # all-candidates stencil (affine fast path when declared)
         pp, pm, dt = mca.transition_all_controls(problem, grid, xf, uc)

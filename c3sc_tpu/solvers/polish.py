@@ -99,6 +99,33 @@ def _svd_rank(s: np.ndarray, eps: float, cap: int) -> int:
 # ------------------------------------------------------------ two-site fit
 
 
+def _select_rows(U: np.ndarray, oversample: float, smax: int):
+    """Row selection in the orthonormal basis U [m, r].
+
+    oversample == 0: maxvol rows + interpolatory CUR factor
+    G = U (U[rows])^{-1} (G[rows] = I, |G| <= 1.02).
+
+    oversample > 0: rectangular scheme — maxvol rows extended by the
+    highest-leverage unselected rows to s = min(ceil((1+os) r), smax, m),
+    and the LEAST-SQUARES factor G = U (U[rows])^+ [m, s]. G has rank r
+    but the bond carries the s physical sample rows; the fit becomes an
+    overdetermined LS onto the SVD basis instead of an interpolation, so
+    the per-fit error drops toward the LS noise floor (the r3 rect-maxvol
+    insight, here in the clean frozen-target setting)."""
+    m, r = U.shape
+    rows, G = _maxvol(U)
+    if oversample <= 0:
+        return rows, G
+    s = min(int(np.ceil((1.0 + oversample) * r)), smax, m)
+    if s > r:
+        lev = np.einsum("ij,ij->i", U, U)          # leverage scores
+        lev[rows] = -np.inf
+        extra = np.argpartition(-lev, s - r - 1)[: s - r]
+        rows = np.concatenate([rows, extra])
+    G = U @ np.linalg.pinv(U[rows])                # [m, s], rank r
+    return rows, G
+
+
 def _fit2site(
     f: Callable,
     shape: Sequence[int],
@@ -108,12 +135,18 @@ def _fit2site(
     eps_rank: float,
     n_sweeps: int,
     dtype=np.float32,
+    oversample: float = 0.0,
 ):
     """Two-site cross fit of black-box ``f(idx [B, d] int32) -> [B]``.
 
     All decompositions in host float64; returns (padded TT, state, n_evals).
     The state's nested index sets are updated in place (warm start across
     polish steps, like the reference's persistent ``CrossIndex``).
+
+    ``oversample > 0``: orthogonal-core LS scheme — core_k is the
+    orthonormal SVD basis U_r itself and core_{k+1} is the least-squares
+    solve (U_r[rows_s])^+ M[rows_s] from s = (1+os) r sampled rows; the
+    nested index sets carry s rows (wider fibers, better conditioning).
     """
     d = len(shape)
     n_evals = 0
@@ -143,13 +176,15 @@ def _fit2site(
             rl, rr = I.shape[0], J.shape[0]
             n0, n1 = shape[k], shape[k + 1]
             M = eval_block2(I, k, J)                     # [rl*n0, n1*rr] f64
-            U, s, Vt = np.linalg.svd(M, full_matrices=False)
-            r = _svd_rank(s, eps_rank, min(cap, rl * n0, n1 * rr, rmax_pad))
-            rows, G = _maxvol(U[:, :r])
+            U, sv, _ = np.linalg.svd(M, full_matrices=False)
+            r = _svd_rank(sv, eps_rank, min(cap, rl * n0, n1 * rr, rmax_pad))
+            rows, G = _select_rows(U[:, :r], oversample,
+                                   min(rl * n0, rmax_pad))
             a, i = rows // n0, rows % n0
             state.left[k + 1] = np.concatenate([I[a], i[:, None]], axis=-1)
-            cores[k] = G.reshape(rl, n0, r)
-            cores[k + 1] = M[rows].reshape(r, n1, rr)    # provisional
+            s = len(rows)
+            cores[k] = G.reshape(rl, n0, s)
+            cores[k + 1] = M[rows].reshape(s, n1, rr)    # provisional
         # ---- right-to-left: updates cores[k+1], right[k+1] ----------------
         for k in range(d - 2, -1, -1):
             I, J = state.left[k], state.right[k + 2]
@@ -158,13 +193,15 @@ def _fit2site(
             M = eval_block2(I, k, J)
             Mt = M.reshape(rl, n0, n1, rr).transpose(2, 3, 0, 1).reshape(
                 n1 * rr, rl * n0)
-            U, s, Vt = np.linalg.svd(Mt, full_matrices=False)
-            r = _svd_rank(s, eps_rank, min(cap, rl * n0, n1 * rr, rmax_pad))
-            rows, G = _maxvol(U[:, :r])
+            U, sv, _ = np.linalg.svd(Mt, full_matrices=False)
+            r = _svd_rank(sv, eps_rank, min(cap, rl * n0, n1 * rr, rmax_pad))
+            rows, G = _select_rows(U[:, :r], oversample,
+                                   min(n1 * rr, rmax_pad))
             i, b = rows // rr, rows % rr
             state.right[k + 1] = np.concatenate([i[:, None], J[b]], axis=-1)
-            cores[k + 1] = G.T.reshape(r, n1, rr)
-            cores[k] = Mt[rows].T.reshape(rl, n0, r)
+            s = len(rows)
+            cores[k + 1] = G.T.reshape(s, n1, rr)
+            cores[k] = Mt[rows].T.reshape(rl, n0, s)
 
     # pad into the library's static-rank TT (zero-padding invariant)
     R = rmax_pad
@@ -187,6 +224,7 @@ class PolishResult:
     best_step: int
     n_evals: int
     wall_time: float
+    state: CrossState | None = None   # final index sets (warm restart)
 
 
 def tt_polish(
@@ -197,6 +235,7 @@ def tt_polish(
     rmax: int = 64,
     schedule: Sequence[tuple] = ((10, 24), (10, 40), (20, 64)),
     eps_rank: float = 1e-5,
+    oversample: float = 0.0,
     first_step_sweeps: int = 2,
     key=None,
     chunk: int = 32768,
@@ -204,12 +243,19 @@ def tt_polish(
     check_every: int = 1,
     seed: int = 7,
     verbose: bool = False,
+    kernel=None,
+    state: CrossState | None = None,
 ) -> PolishResult:
     """Polish a fused-VI solution by frozen-target two-site projected VI.
 
-    ``schedule``: ((steps, rank_cap), ...) — caps grow as the error
-    contracts; fitting at rank 64 while the error is still 10% wastes
-    chip time AND risks fitting the error field's noise.
+    ``schedule``: ((steps, rank_cap), ...) or ((steps, cap, sweeps), ...)
+    — caps grow as the error contracts; fitting at rank 64 while the
+    error is still 10% wastes chip time AND risks fitting the error
+    field's noise.
+
+    ``kernel``: override the Bellman evaluator (``make_bellman_kernel``
+    signature) — the two-level driver passes the composite TT+patch
+    kernel. ``state``: warm-start cross index sets.
 
     The returned iterate is the one with the smallest ABSOLUTE sampled
     Bellman residual sup|Tv - v| (the oracle-free contraction bound;
@@ -221,7 +267,8 @@ def tt_polish(
     shape = tuple(grid.shape)
     d = len(shape)
     uc = jnp.asarray(controls, jnp.float32)
-    kernel = make_bellman_kernel(problem, grid, uc, chunk=chunk)
+    if kernel is None:
+        kernel = make_bellman_kernel(problem, grid, uc, chunk=chunk)
     v_cur = _repad(v0, rmax)
 
     rng = np.random.default_rng(seed)
@@ -229,20 +276,24 @@ def tt_polish(
         np.stack([rng.integers(0, n, n_check) for n in shape], -1), jnp.int32)
     geval = jax.jit(lambda tt: tt_gather_eval(tt, check_idx))
 
-    r0 = int(min(schedule[0][1], 8))
-    state = init_cross_state(jax.random.split(key)[1], shape, r0)
+    if state is None:
+        r0 = int(min(schedule[0][1], 8))
+        state = init_cross_state(jax.random.split(key)[1], shape, r0)
 
     history = []
     best = (np.inf, v_cur, -1)
     prev_check = np.asarray(geval(v_cur))
     n_evals = 0
     step = 0
-    for stage, (n_steps, cap) in enumerate(schedule):
+    for stage in schedule:
+        n_steps, cap = stage[0], stage[1]
+        stage_sweeps = stage[2] if len(stage) > 2 else 1
         for _ in range(n_steps):
-            sweeps = first_step_sweeps if step == 0 else 1
+            sweeps = first_step_sweeps if step == 0 else stage_sweeps
             f = lambda idx: kernel(v_cur, idx)
             v_new, state, ne = _fit2site(
-                f, shape, state, rmax, cap, eps_rank, sweeps)
+                f, shape, state, rmax, cap, eps_rank, sweeps,
+                oversample=oversample)
             n_evals += ne
             rec = {"step": step, "cap": cap,
                    "ranks": [int(r) for r in np.asarray(v_new.ranks)]}
@@ -257,12 +308,12 @@ def tt_polish(
                 if rec["bres_abs"] < best[0]:
                     best = (rec["bres_abs"], v_new, step)
             history.append(rec)
-            if verbose:
+            if verbose and "bres" in rec:
                 print(f"[polish] step={step} cap={cap} "
-                      f"disp={rec.get('disp', float('nan')):.3e} "
-                      f"bres={rec.get('bres', float('nan')):.3e} "
+                      f"disp={rec['disp']:.3e} bres={rec['bres']:.3e} "
                       f"ranks={rec['ranks']}", flush=True)
             v_cur = v_new
             step += 1
     return PolishResult(v=best[1], history=history, best_step=best[2],
-                        n_evals=n_evals, wall_time=time.time() - t0)
+                        n_evals=n_evals, wall_time=time.time() - t0,
+                        state=state)

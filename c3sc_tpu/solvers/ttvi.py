@@ -90,15 +90,21 @@ def refine_controls(problem: ControlProblem, grid: Grid, x, vn, u0, f0,
     return u_opt, jnp.minimum(f_opt, f0)
 
 
-def _pinned_neighbor_values(problem, grid, v_tt, idx, dtype):
+def _pinned_neighbor_values(problem, grid, v_tt, idx, dtype,
+                            node_value_fn=None):
     """TT neighbor values with value-bounds clamping + terminal pinning.
 
+    ``node_value_fn(v_tt, idx [B, d] int) -> [B]`` overrides the plain TT
+    gather (e.g. the two-level composite TT+patch field).
     Returns (x [B, d], vn [B, 2, d])."""
     d = problem.dx
     x = grid.index_to_state(idx).astype(dtype)  # [B, d]
     nb = _neighbor_indices(grid, idx)           # [B, 2, d, d]
     nb_flat = nb.reshape(-1, d)
-    vn = tt_gather_eval(v_tt, nb_flat)          # [B*2*d]
+    if node_value_fn is None:
+        vn = tt_gather_eval(v_tt, nb_flat)      # [B*2*d]
+    else:
+        vn = node_value_fn(v_tt, nb_flat)
     if problem.value_bounds is not None:
         # clamp TT evals into the provable value range: rank-limited
         # approximation outliers cannot feed back through the backup
@@ -112,7 +118,7 @@ def _pinned_neighbor_values(problem, grid, v_tt, idx, dtype):
 
 def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
                    dtype=jnp.float32, refine_steps: int = 0,
-                   refine_method: str = "pgd"):
+                   refine_method: str = "pgd", node_value_fn=None):
     """Traced fused Bellman backup at nodes idx [B, d] -> [B].
 
     min over candidate controls uc [C, du] of the MCA RHS, with TT neighbor
@@ -126,7 +132,8 @@ def bellman_backup(problem: ControlProblem, grid: Grid, uc, v_tt: TT, idx,
     BFGS inner solve (SURVEY.md §3.1 HOTTEST loop), recovering control
     accuracy beyond the candidate spacing INSIDE the solve.
     """
-    x, vn = _pinned_neighbor_values(problem, grid, v_tt, idx, dtype)
+    x, vn = _pinned_neighbor_values(problem, grid, v_tt, idx, dtype,
+                                    node_value_fn)
 
     # all-candidates stencil + cost (uses the problem's declared affine/
     # separable structure when present — ONE drift contraction for all C)
@@ -174,7 +181,8 @@ def bellman_residual_sample(problem: ControlProblem, grid: Grid, controls,
 
 def make_bellman_kernel(problem: ControlProblem, grid: Grid, controls,
                         chunk: int = 4096, dtype=jnp.float32,
-                        refine_steps: int = 0, refine_method: str = "pgd"):
+                        refine_steps: int = 0, refine_method: str = "pgd",
+                        node_value_fn=None):
     """Build the jitted fused Bellman-backup kernel.
 
     Returns bellman(v_tt: TT, idx [B, d] int32) -> [B] float — handles any B
@@ -188,7 +196,8 @@ def make_bellman_kernel(problem: ControlProblem, grid: Grid, controls,
     def _chunk_kernel(v_tt: TT, idx):
         return bellman_backup(problem, grid, uc, v_tt, idx, dtype,
                               refine_steps=refine_steps,
-                              refine_method=refine_method)
+                              refine_method=refine_method,
+                              node_value_fn=node_value_fn)
 
     def bellman(v_tt: TT, idx):
         B = idx.shape[0]

@@ -28,7 +28,8 @@ from c3sc_tpu.sim import make_implicit_policy, rollout
 from c3sc_tpu.sim.mpc_shoot import receding_horizon_rollout
 from c3sc_tpu.solvers.fused import fused_tt_vi
 from c3sc_tpu.solvers.local_patch import (make_patched_value_fn,
-                                          solve_local_patch)
+                                          solve_local_patch,
+                                          two_level_solve)
 from c3sc_tpu.solvers.polish import tt_polish
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -41,6 +42,8 @@ def main():
     ap.add_argument("--polish-rmax", type=int, default=64)
     ap.add_argument("--schedule", type=str, default="10:24,10:40,20:64")
     ap.add_argument("--margin", type=int, default=1)
+    ap.add_argument("--cycles", type=int, default=2)
+    ap.add_argument("--cycle-steps", type=int, default=10)
     ap.add_argument("--rollouts", type=int, default=256)
     ap.add_argument("--chunk-roll", type=int, default=64)
     ap.add_argument("--steps", type=int, default=400)
@@ -83,14 +86,16 @@ def main():
           f"q95={q95_vs_dense(psol.v):.3%} [{time.time()-t0:.0f}s]",
           flush=True)
 
-    # --- stage 3: local dense completion ---
-    vfn_tt = lambda p: tt_lerp_eval(psol.v, grid, p)
+    # --- stage 3: two-level TT + local patch cycles ---
     t0 = time.time()
-    patch = solve_local_patch(prob, grid, vfn_tt, controls,
-                              margin=args.margin, tol=1e-5)
-    vfn_p = make_patched_value_fn(grid, vfn_tt, patch)
-    print(f"patch(m={args.margin}): sweeps={patch.sweeps} "
-          f"res={patch.residual:.1e} [{time.time()-t0:.0f}s]", flush=True)
+    tl = two_level_solve(prob, grid, controls, psol.v,
+                         rmax=args.polish_rmax, cycles=args.cycles,
+                         cycle_schedule=((args.cycle_steps, args.polish_rmax),),
+                         margin=args.margin, verbose=True)
+    vfn_tt = lambda p: tt_lerp_eval(tl.v, grid, p)
+    vfn_p = make_patched_value_fn(grid, vfn_tt, tl.patch)
+    print(f"two_level: cycles={args.cycles} q95={q95_vs_dense(tl.v):.3%} "
+          f"[{time.time()-t0:.0f}s]", flush=True)
 
     # --- parity evals (CRN, chunked) ---
     vfn_d = lambda p: multilinear_interp(grid, v_dense, p)
@@ -122,7 +127,9 @@ def main():
 
     out = {"fused_q95": q95_vs_dense(fsol.v),
            "polish_q95": q95_vs_dense(psol.v),
-           "polish_history": psol.history}
+           "two_level_q95": q95_vs_dense(tl.v),
+           "polish_history": psol.history,
+           "two_level_history": tl.history}
     cd, _ = eval_greedy(vfn_d)
     out["greedy"] = {"dense": cd}
     for name, vfn in [("tt", vfn_tt), ("tt+patch", vfn_p)]:

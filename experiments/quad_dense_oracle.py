@@ -1,26 +1,35 @@
-"""North-star artifact v2: 6D quadcopter vs an INDEPENDENT dense-grid oracle.
+"""North-star artifact v3: 6D quadcopter vs an INDEPENDENT dense oracle.
 
-Round-2 verdict: the TT-vs-TT self-consistency north star shares any
-systematic error of the fused cross/MCA implementation between both sides.
-This experiment retires it: the oracle is ``dense_vi`` — a full-grid
-(no TT anywhere) modified-policy-iteration solve of the SAME discrete MCA
-Bellman equation on the SAME grid — run on the TPU chip, where the
-9^6 = 531k-node (or 11^6 = 1.77M-node) stencil arrays fit in HBM.
+v2 (round 3) retired the TT-vs-TT self-consistency harness: the oracle is
+``dense_vi`` — a full-grid (no TT anywhere) modified-policy-iteration solve
+of the SAME discrete MCA Bellman equation on the SAME grid, on the chip.
 
-Reported (NORTHSTAR.json):
-  - node-value parity: TT full contraction vs dense v over ALL nodes
-  - closed-loop realized cost + survival under identical noise keys,
-    tolerance tightened from 10% (r2) to <= 3%
-  - control agreement at matched states, measured in raw candidates AND in
-    the degeneracy-collapsing coordinates (u1+u2, u1-u2)
-  - the Q-gap Q_oracle(u_prod) - Q_oracle(u_oracle) at disagreeing states,
-    relative to the per-state Q-range — quantifying (or killing) the
-    "near-optimal degeneracy" claim of round 2
+v3 (round 4) upgrades the PRODUCTION side to the measured recipe
+(docs/DESIGN.md round-4 campaign):
 
-Reference: BASELINE.json north_star ("quadcopter (6D) ... closed-loop
-control sequence within 1% of reference"); SURVEY.md §4 oracle strategy
-(dense_dp stands in for the absent reference binary — mount still empty
-this round, 0 files).
+    fused cross-VI  ->  frozen-target two-site polish  ->  two-level
+    TT + local-dense-completion cycles
+
+and grades BOTH readouts under common random numbers:
+  - greedy: the one-step implicit policy (identical machinery both sides)
+    — the apples-to-apples solver-parity row and the PASS criterion;
+  - deployment: batched iLQR receding-horizon MPC (identical machinery
+    both sides, the BASELINE configs[4] mode) — reported with a one-sided
+    check (production must not be WORSE than the oracle-value controller
+    by more than the tolerance; the round-4 measurement shows the
+    continuous-dynamics planner BEATS the coarse-grid discrete-optimal
+    policy outright).
+
+Tolerances are UNCHANGED from v2 (cost_rel <= 3%, survival >= 90%,
+interior value q95 <= 5%): the round-3 verdict demanded the artifact pass
+its own coded bars, not that the bars move.
+
+Reported (NORTHSTAR.json): node-value parity per stage (fused / polished
+TT / deployed composite), closed-loop cost + survival per readout,
+control agreement + oracle-Q gap at matched states.
+
+Reference: BASELINE.json north_star; SURVEY.md §4 oracle strategy (mount
+still empty this round, 0 files).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u experiments/quad_dense_oracle.py
 """
@@ -39,12 +48,17 @@ enable_compile_cache()
 import numpy as np
 
 from c3sc_tpu.models import make_quadcopter_problem
+from c3sc_tpu.models.base import Boundary
 from c3sc_tpu.ops.interp import multilinear_interp
 from c3sc_tpu.ops.tt import tt_full, tt_lerp_eval
 from c3sc_tpu.sim import make_implicit_policy, rollout
+from c3sc_tpu.sim.mpc_shoot import receding_horizon_rollout
 from c3sc_tpu.sim.policy import q_values
 from c3sc_tpu.solvers.dense import dense_vi
 from c3sc_tpu.solvers.fused import fused_tt_vi
+from c3sc_tpu.solvers.local_patch import (make_patched_value_fn,
+                                          two_level_solve)
+from c3sc_tpu.solvers.polish import tt_polish
 
 ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 
@@ -72,15 +86,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=9)
     ap.add_argument("--rmax", type=int, default=16)
+    ap.add_argument("--polish-rmax", type=int, default=64)
+    ap.add_argument("--schedule", type=str, default="6:24,8:40,30:64")
+    ap.add_argument("--cycles", type=int, default=2)
+    ap.add_argument("--cycle-steps", type=int, default=10)
+    ap.add_argument("--margin", type=int, default=1)
     ap.add_argument("--max-iters", type=int, default=1500)
     ap.add_argument("--probe", type=int, default=32)
-    ap.add_argument("--rollouts", type=int, default=64)
+    ap.add_argument("--rollouts", type=int, default=256)
+    ap.add_argument("--chunk-roll", type=int, default=64)
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--horizon", type=int, default=128)
     ap.add_argument("--dense-tol", type=float, default=1e-5)
+    ap.add_argument("--skip-mpc", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    schedule = tuple(tuple(map(int, s.split(":")))
+                     for s in args.schedule.split(","))
 
     prob = make_quadcopter_problem(sigma_v=0.15, sigma_om=0.15)
     grid = prob.default_grid(args.n)
@@ -93,80 +117,134 @@ def main():
     cache = os.path.join(ART, f"quad_dense_v{args.n}.npz")
     v_dense, dense_wall = dense_solve(prob, grid, controls, args.dense_tol,
                                       cache)
+    vrange = float(np.asarray(v_dense).max() - np.asarray(v_dense).min())
+    sl = tuple(slice(1, -1) if b == Boundary.ABSORB else slice(None)
+               for b in prob.boundary)
 
-    # --- production: fused TT solve, flagship recipe ---
+    def parity(v_full):
+        rel = np.abs(v_full - np.asarray(v_dense)) / max(vrange, 1e-9)
+        return {
+            "full": {"q50": float(np.quantile(rel, 0.5)),
+                     "q95": float(np.quantile(rel, 0.95)),
+                     "max": float(rel.max())},
+            "interior": {"q50": float(np.quantile(rel[sl], 0.5)),
+                         "q95": float(np.quantile(rel[sl], 0.95)),
+                         "max": float(rel[sl].max())},
+        }
+
+    # --- production: fused -> polish -> two-level cycles ---
     t0 = time.time()
-    sol = fused_tt_vi(
+    fsol = fused_tt_vi(
         prob, grid, controls=controls, rmax=args.rmax, key=jax.random.key(0),
         tol=2e-4, max_iters=args.max_iters, patience=25,
         probe_rollouts=args.probe, probe_steps=500, probe_dt=0.01,
     )
-    tt_wall = time.time() - t0
-    print(f"fused TT: it={sol.iterations} res={sol.residual:.2e} "
-          f"probe_cost={sol.probe_cost:.3f} "
-          f"ranks={[int(r) for r in np.asarray(sol.v.ranks)]} "
-          f"wall={tt_wall:.0f}s", flush=True)
-
-    # --- node-value parity over the ENTIRE grid ---
-    v_tt = tt_full(sol.v)                      # 9^6 f32 = 2 MB: cheap
-    dv = np.abs(np.asarray(v_tt) - np.asarray(v_dense))
-    vrange = float(np.asarray(v_dense).max() - np.asarray(v_dense).min())
-    rel = dv / max(vrange, 1e-9)
-    val_q50, val_q95, val_max = (float(np.quantile(rel, 0.5)),
-                                 float(np.quantile(rel, 0.95)),
-                                 float(rel.max()))
-    # interior parity: >= 1 node away from the absorbing faces, where the
-    # dense v is pinned to the exit cost — a C0 discontinuity a lerp-basis
-    # TT smooths over one cell by construction; the closed loop never acts
-    # from the pinned face (exit has already happened there)
-    from c3sc_tpu.models.base import Boundary
-    sl = tuple(slice(1, -1) if b == Boundary.ABSORB else slice(None)
-               for b in prob.boundary)
-    rel_int = rel[sl]
-    int_q50, int_q95, int_max = (float(np.quantile(rel_int, 0.5)),
-                                 float(np.quantile(rel_int, 0.95)),
-                                 float(rel_int.max()))
-    print(f"value parity (rel to range {vrange:.1f}): "
-          f"full q50={val_q50:.2%} q95={val_q95:.2%} max={val_max:.2%} | "
-          f"interior q50={int_q50:.2%} q95={int_q95:.2%} max={int_max:.2%}",
+    wall_fused = time.time() - t0
+    print(f"fused: it={fsol.iterations} res={fsol.residual:.2e} "
+          f"[{wall_fused:.0f}s]", flush=True)
+    t0 = time.time()
+    psol = tt_polish(prob, grid, controls, fsol.v, rmax=args.polish_rmax,
+                     schedule=schedule, check_every=2)
+    wall_polish = time.time() - t0
+    t0 = time.time()
+    tl = two_level_solve(prob, grid, controls, psol.v,
+                         rmax=args.polish_rmax, cycles=args.cycles,
+                         cycle_schedule=((args.cycle_steps,
+                                          args.polish_rmax),),
+                         margin=args.margin)
+    wall_tl = time.time() - t0
+    print(f"polish [{wall_polish:.0f}s] + two-level [{wall_tl:.0f}s]",
           flush=True)
 
-    # --- closed loop under identical noise ---
-    rng = np.random.default_rng(4242)
-    x0 = jnp.asarray(
-        0.4 * rng.uniform(-1, 1, (args.rollouts, 6))
-        * np.asarray([2.0, 2.0, 1.0, 3.0, 3.0, 4.0]), jnp.float32)
-    key = jax.random.key(9)
-    vfn_tt = lambda p: tt_lerp_eval(sol.v, grid, p)
+    vfn_tt = lambda p: tt_lerp_eval(tl.v, grid, p)
+    vfn_prod = make_patched_value_fn(grid, vfn_tt, tl.patch)
     vfn_dense = lambda p: multilinear_interp(grid, v_dense, p)
-    pol_tt = make_implicit_policy(prob, grid, vfn_tt, controls)
-    pol_dense = make_implicit_policy(prob, grid, vfn_dense, controls)
-    tr_p = rollout(prob, grid, pol_tt, x0, key, dt=0.01, n_steps=args.steps)
-    tr_o = rollout(prob, grid, pol_dense, x0, key, dt=0.01, n_steps=args.steps)
-    c_p = float(np.asarray(tr_p.cost).mean())
-    c_o = float(np.asarray(tr_o.cost).mean())
-    surv_p = float(np.asarray(tr_p.alive[-1]).mean())
-    surv_o = float(np.asarray(tr_o.alive[-1]).mean())
+
+    # deployed composite on the full node set
+    mesh_x = jnp.asarray(np.stack([m.ravel() for m in grid.meshgrid()], -1),
+                         jnp.float32)
+    v_comp = np.asarray(
+        jax.jit(vfn_prod)(mesh_x)).reshape(grid.shape)
+    par_fused = parity(np.asarray(tt_full(fsol.v)))
+    par_polish = parity(np.asarray(tt_full(psol.v)))
+    par_prod = parity(v_comp)
+    print(f"value parity interior q95: fused "
+          f"{par_fused['interior']['q95']:.3%} -> polish "
+          f"{par_polish['interior']['q95']:.3%} -> deployed "
+          f"{par_prod['interior']['q95']:.3%}", flush=True)
+
+    # --- closed loop under identical noise (chunked rollouts) ---
+    rng = np.random.default_rng(4242)
+    B, CH = args.rollouts, args.chunk_roll
+    x0 = jnp.asarray(
+        0.4 * rng.uniform(-1, 1, (B, 6))
+        * np.asarray([2.0, 2.0, 1.0, 3.0, 3.0, 4.0]), jnp.float32)
+
+    def eval_greedy(vfn):
+        pol = make_implicit_policy(prob, grid, vfn, controls)
+        cs, al = [], []
+        for i in range(B // CH):
+            tr = rollout(prob, grid, pol, x0[i*CH:(i+1)*CH],
+                         jax.random.key(1000 + i), dt=0.01,
+                         n_steps=args.steps)
+            cs.append(np.asarray(tr.cost))
+            al.append(np.asarray(tr.alive[-1]))
+        return (float(np.concatenate(cs).mean()),
+                float(np.concatenate(al).mean()))
+
+    def eval_mpc(vfn):
+        cs, al = [], []
+        for i in range(B // CH):
+            tr = receding_horizon_rollout(
+                prob, grid, vfn, x0[i*CH:(i+1)*CH], jax.random.key(1000 + i),
+                dt=0.01, n_steps=args.steps, horizon=args.horizon,
+                replan_every=4, opt_iters=8, controls=controls)
+            cs.append(np.asarray(tr.cost))
+            al.append(np.asarray(tr.alive[-1]))
+        return (float(np.concatenate(cs).mean()),
+                float(np.concatenate(al).mean()))
+
+    c_o, surv_o = eval_greedy(vfn_dense)
+    c_p, surv_p = eval_greedy(vfn_prod)
     cost_rel = abs(c_p - c_o) / max(abs(c_o), 1e-9)
-    print(f"closed loop: cost tt={c_p:.3f} dense={c_o:.3f} "
-          f"rel={cost_rel:.2%}; survival tt={surv_p:.2%} "
+    print(f"greedy closed loop: prod={c_p:.4f} dense={c_o:.4f} "
+          f"rel={cost_rel:.2%}; survival prod={surv_p:.2%} "
           f"dense={surv_o:.2%}", flush=True)
 
+    mpc_row = None
+    if not args.skip_mpc:
+        cm_o, _ = eval_mpc(vfn_dense)
+        cm_p, sm_p = eval_mpc(vfn_prod)
+        mpc_row = {
+            "mean_cost": cm_p, "oracle_mean_cost": cm_o, "survival": sm_p,
+            "signed_rel": (cm_p - cm_o) / max(abs(cm_o), 1e-9),
+            "note": ("one-sided deployment check: production must not be "
+                     "WORSE than the oracle-value controller by more than "
+                     "tol; negative signed_rel = production realizes LOWER "
+                     "cost (the continuous-dynamics iLQR planner beats the "
+                     "coarse-grid discrete-optimal policy)"),
+            "pass_one_sided": bool((cm_p - cm_o) / max(abs(cm_o), 1e-9)
+                                   <= 0.03 and sm_p >= 0.9),
+        }
+        print(f"mpc closed loop: prod={cm_p:.4f} dense={cm_o:.4f} "
+              f"signed_rel={mpc_row['signed_rel']:+.2%}", flush=True)
+
     # --- matched-state control agreement + Q-gap under the ORACLE Q ---
+    pol_prod = make_implicit_policy(prob, grid, vfn_prod, controls)
+    pol_dense = make_implicit_policy(prob, grid, vfn_dense, controls)
+    tr_o = rollout(prob, grid, pol_dense, x0[:CH], jax.random.key(1000),
+                   dt=0.01, n_steps=args.steps)
     xs = np.asarray(tr_o.xs[:-1]).reshape(-1, 6)
     alive_m = np.asarray(tr_o.alive[:-1]).reshape(-1)
     xs = jnp.asarray(xs[alive_m][:4096], jnp.float32)
-    u_p = np.asarray(pol_tt(xs))
+    u_p = np.asarray(pol_prod(xs))
     u_o = np.asarray(pol_dense(xs))
     agree = float((np.abs(u_p - u_o) < 1e-6).all(axis=-1).mean())
     urange = float(prob.uub[0] - prob.ulb[0])
     u_dev = float(np.abs(u_p - u_o).mean() / urange)
-    # degeneracy-collapsing coordinates: total thrust s = u1+u2 (the
-    # physically binding input) and differential m = u1-u2 (torque)
     s_dev = float(np.abs((u_p.sum(-1)) - (u_o.sum(-1))).mean() / (2 * urange))
     m_dev = float(np.abs((u_p[:, 0] - u_p[:, 1])
                          - (u_o[:, 0] - u_o[:, 1])).mean() / (2 * urange))
-    # Q-gap: how suboptimal (under the ORACLE value) is the production pick?
     q = np.asarray(q_values(prob, grid, vfn_dense, controls, xs))  # [B, C]
     uc = np.asarray(controls)
     pick_p = np.argmin(np.abs(u_p[:, None, :] - uc[None]).sum(-1), axis=1)
@@ -184,7 +262,7 @@ def main():
     print(f"Q-gap at disagreeing states (rel to Q-span): q50={qg_q50:.3%} "
           f"q95={qg_q95:.3%} frac<0.5%={qg_small:.2%}", flush=True)
 
-    tol_cost, tol_surv = 0.03, 0.90
+    tol_cost, tol_surv, tol_q95 = 0.03, 0.90, 0.05
     result = {
         "metric": "quadcopter_6d_vs_dense_oracle",
         "oracle": {
@@ -194,22 +272,37 @@ def main():
             "wall_s": round(dense_wall, 1),
             "mean_cost": c_o, "survival": surv_o,
         },
-        "config": {"grid": list(grid.shape), "rmax": args.rmax,
-                   "controls": len(controls), "rollouts": args.rollouts,
-                   "rollout_steps": args.steps,
-                   "backend": jax.default_backend()},
-        "production": {"mean_cost": c_p, "survival": surv_p,
-                       "probe_cost": sol.probe_cost,
-                       "iterations": sol.iterations,
-                       "ranks": [int(r) for r in np.asarray(sol.v.ranks)],
-                       "wall_s": round(tt_wall, 1)},
+        "config": {
+            "grid": list(grid.shape), "rmax": args.rmax,
+            "polish_rmax": args.polish_rmax, "schedule": args.schedule,
+            "two_level_cycles": args.cycles, "patch_margin": args.margin,
+            "controls": len(controls), "rollouts": args.rollouts,
+            "rollout_steps": args.steps, "mpc_horizon": args.horizon,
+            "backend": jax.default_backend(),
+            "recipe": ("fused cross-VI -> frozen-target two-site polish "
+                       "-> two-level TT + local dense completion "
+                       "(docs/DESIGN.md round-4 campaign)"),
+        },
+        "production": {
+            "mean_cost": c_p, "survival": surv_p,
+            "fused_iterations": fsol.iterations,
+            "polish_steps": len(psol.history),
+            "tt_ranks": [int(r) for r in np.asarray(tl.v.ranks)],
+            "patch_nodes": int(np.prod(tl.patch.subgrid.shape)),
+            "wall_s": {"fused": round(wall_fused, 1),
+                       "polish": round(wall_polish, 1),
+                       "two_level": round(wall_tl, 1)},
+        },
         "value_parity_rel_to_range": {
-            "full": {"q50": val_q50, "q95": val_q95, "max": val_max},
-            "interior": {"q50": int_q50, "q95": int_q95, "max": int_max},
-            "note": "interior excludes absorbing-face nodes (v pinned to "
-                    "exit cost; C0 jump a lerp-basis TT smooths over 1 cell)",
+            "fused": par_fused, "polished_tt": par_polish,
+            "deployed_composite": par_prod,
+            "note": ("interior excludes absorbing-face nodes (v pinned to "
+                     "exit cost; C0 jump a lerp-basis TT smooths over 1 "
+                     "cell); the PASS criterion applies to the deployed "
+                     "composite — the field a user queries"),
         },
         "cost_rel_deviation": cost_rel,
+        "deployment_mpc": mpc_row,
         "control_agreement": {
             "candidate_exact": agree,
             "mean_u_deviation_of_range": u_dev,
@@ -219,9 +312,10 @@ def main():
                 "q50": qg_q50, "q95": qg_q95, "frac_below_0.5%": qg_small},
         },
         "tolerance": {"cost_rel": tol_cost, "survival_min": tol_surv,
-                      "value_q95_max": 0.05},
+                      "value_q95_max": tol_q95},
         "pass": bool(cost_rel <= tol_cost and surv_p >= tol_surv
-                     and surv_o >= tol_surv and int_q95 <= 0.05),
+                     and surv_o >= tol_surv
+                     and par_prod["interior"]["q95"] <= tol_q95),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "NORTHSTAR.json")
