@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--margin", type=int, default=1)
     ap.add_argument("--cycles", type=int, default=2)
     ap.add_argument("--cycle-steps", type=int, default=10)
+    ap.add_argument("--average-tail", type=int, default=0)
+    ap.add_argument("--reroll-every", type=int, default=0)
     ap.add_argument("--rollouts", type=int, default=256)
     ap.add_argument("--chunk-roll", type=int, default=64)
     ap.add_argument("--steps", type=int, default=400)
@@ -81,7 +83,9 @@ def main():
     # --- stage 2: frozen-target two-site polish ---
     t0 = time.time()
     psol = tt_polish(prob, grid, controls, fsol.v, rmax=args.polish_rmax,
-                     schedule=schedule, check_every=2, verbose=True)
+                     schedule=schedule, check_every=2, verbose=True,
+                     average_tail=args.average_tail,
+                     reroll_every=args.reroll_every)
     print(f"polish: best_step={psol.best_step} evals={psol.n_evals:,} "
           f"q95={q95_vs_dense(psol.v):.3%} [{time.time()-t0:.0f}s]",
           flush=True)
