@@ -36,7 +36,7 @@ from c3sc_tpu.solvers.dense import dense_vi
 from c3sc_tpu.solvers.fused import fused_tt_vi
 from c3sc_tpu.solvers.local_patch import (make_patched_value_fn,
                                           solve_local_patch)
-from c3sc_tpu.solvers.polish import tt_polish
+from c3sc_tpu.solvers.polish import level_correct, tt_polish
 from c3sc_tpu.solvers.ttvi import bellman_residual_sample
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -81,6 +81,8 @@ def main():
     bres_tail = [r["bres"] for r in psol.history if "bres" in r]
     print(f"polish: bres {bres_tail[0]:.3e} -> {bres_tail[-1]:.3e} "
           f"[{wall_polish:.0f}s]", flush=True)
+    v_lc, lc_hist = level_correct(prob, grid, controls, psol.v)
+    psol.v = v_lc
     vfn_tt = lambda p: tt_lerp_eval(psol.v, grid, p)
     t0 = time.time()
     patch = solve_local_patch(prob, grid, vfn_tt, controls,
@@ -182,6 +184,7 @@ def main():
             "polish": {"bres_first": bres_tail[0],
                        "bres_last": bres_tail[-1],
                        "wall_s": round(wall_polish, 1)},
+            "level_correction": lc_hist,
             "patch": {"nodes": int(np.prod(patch.subgrid.shape)),
                       "residual": float(patch.residual),
                       "wall_s": round(wall_patch, 1)},

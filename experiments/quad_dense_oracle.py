@@ -66,7 +66,7 @@ from c3sc_tpu.solvers.dense import dense_vi
 from c3sc_tpu.solvers.fused import fused_tt_vi
 from c3sc_tpu.solvers.local_patch import (make_patched_value_fn,
                                           two_level_solve)
-from c3sc_tpu.solvers.polish import tt_polish
+from c3sc_tpu.solvers.polish import level_correct, tt_polish
 
 ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 
@@ -158,8 +158,13 @@ def main():
                      average_tail=args.average_tail,
                      reroll_every=args.reroll_every)
     wall_polish = time.time() - t0
+    # scalar slow-mode (value-level) defect correction: the level is the
+    # SLOWEST VI mode (gamma_bar ~0.996/step) and carries the fused
+    # stage's bias nearly unchanged through any affordable ladder; the
+    # Newton shift is oracle-free and policy-invariant (polish.py)
+    v_lc, lc_hist = level_correct(prob, grid, controls, psol.v)
     t0 = time.time()
-    tl = two_level_solve(prob, grid, controls, psol.v,
+    tl = two_level_solve(prob, grid, controls, v_lc,
                          rmax=args.polish_rmax, cycles=args.cycles,
                          cycle_schedule=((args.cycle_steps,
                                           args.polish_rmax),),
@@ -301,6 +306,7 @@ def main():
             "mean_cost": c_p, "survival": surv_p,
             "fused_iterations": fsol.iterations,
             "polish_steps": len(psol.history),
+            "level_correction": lc_hist,
             "tt_ranks": [int(r) for r in np.asarray(tl.v.ranks)],
             "patch_nodes": int(np.prod(tl.patch.subgrid.shape)),
             "wall_s": {"fused": round(wall_fused, 1),

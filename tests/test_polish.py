@@ -48,3 +48,27 @@ def test_polish_contracts_starved_pendulum():
     assert q95_1 < 0.6 * q95_0, (q95_0, q95_1)
     # padded-TT invariant: ranks populated, shapes static
     assert all(c.shape == (20, 31, 20) for c in psol.v.cores)
+
+
+def test_level_correct_recovers_constant_shift():
+    """The scalar slow-mode correction must pull a deliberately level-
+    shifted value back toward the fixed point (the value LEVEL is the
+    slowest VI mode; see polish.level_correct)."""
+    import jax.numpy as jnp
+
+    from c3sc_tpu.ops.tt import _repad, tt_add, tt_constant, tt_from_dense
+    from c3sc_tpu.solvers.polish import level_correct
+
+    prob = make_pendulum_problem()
+    grid = prob.default_grid(31)
+    controls = prob.control_candidates(9)
+    dsol = dense_vi(prob, grid, controls=controls, tol=1e-6, max_outer=4000)
+    v_tt = _repad(tt_from_dense(jnp.asarray(dsol.v), rmax=20, tol=1e-9), 24)
+    shift = 3.0
+    v_bad = tt_add(v_tt, tt_constant(grid.shape, shift, 24))
+    v_fix, hist = level_correct(prob, grid, controls, v_bad, iters=4,
+                                chunk=8192)
+    total = sum(h["shift"] for h in hist)
+    # recovered shift ~ -3 (within the dense/TT truncation tolerance)
+    assert abs(total + shift) < 0.5, (total, hist)
+    assert abs(hist[-1]["mean_defect"]) < abs(hist[0]["mean_defect"])
