@@ -286,6 +286,102 @@ def level_correct(
     return v, history
 
 
+def mode_correct(
+    problem: ControlProblem,
+    grid: Grid,
+    controls,
+    v: TT,
+    kernel=None,
+    n_samples: int = 8192,
+    iters: int = 2,
+    seed: int = 13,
+    chunk: int = 32768,
+    damping: float = 1e-3,
+    verbose: bool = False,
+):
+    """Slow-mode SUBSPACE defect correction (generalizes level_correct).
+
+    Modes: the constant plus one centered linear ramp per dimension —
+    the smoothest (slowest-contracting) directions of the VI operator.
+    For each mode phi_m, ONE extra kernel evaluation measures the
+    operator's action pointwise: (gamma P phi_m)(x_i) ~ (T(v + delta
+    phi_m) - T(v))(x_i) / delta. The Newton step solves the sampled
+    least squares
+
+        min_c || d + sum_m c_m (img_m - phi_m) ||^2,   d = T(v) - v,
+
+    and updates v <- v + sum_m c_m phi_m (each phi_m is a rank<=2 TT).
+    Oracle-free; measured on the 9^6 quadcopter the scalar level mode
+    alone recovers ~2.4% of range and leaves a zero-mean-defect smooth
+    remainder — exactly what the linear modes target next.
+    """
+    if kernel is None:
+        kernel = make_bellman_kernel(problem, grid,
+                                     jnp.asarray(controls, jnp.float32),
+                                     chunk=chunk)
+    from c3sc_tpu.ops.tt import tt_constant, tt_rank1
+
+    shape = tuple(grid.shape)
+    d_dims = grid.ndim
+    R = v.rmax
+    rng = np.random.default_rng(seed)
+    idx_np = np.stack([rng.integers(1, max(n - 1, 2), n_samples)
+                       for n in shape], -1)
+    idx = jnp.asarray(idx_np, jnp.int32)
+    geval = jax.jit(lambda tt: tt_gather_eval(tt, idx))
+
+    # mode TTs + their node values at the sample
+    modes = [tt_constant(shape, 1.0, R)]
+    mode_vals = [np.ones(n_samples)]
+    for k in range(d_dims):
+        nk = np.asarray(grid.nodes(k), np.float32)
+        ramp = (nk - nk.mean()) / max(nk.max() - nk.min(), 1e-9)
+        factors = [jnp.asarray(ramp) if j == k
+                   else jnp.ones(shape[j], jnp.float32)
+                   for j in range(d_dims)]
+        modes.append(tt_rank1(factors, R))
+        mode_vals.append(np.asarray(ramp)[idx_np[:, k]])
+    Phi = np.stack(mode_vals, axis=1)                      # [N, M]
+    M = Phi.shape[1]
+
+    history = []
+    for it in range(iters):
+        tv = np.asarray(kernel(v, idx))
+        vv = np.asarray(geval(v))
+        d = tv - vv                                        # [N]
+        scale = max(float(np.max(np.abs(vv))), 1.0)
+        delta = 0.01 * scale
+        cols = []
+        for m in range(M):
+            v_s = tt_round(tt_add(v, _scale_tt(modes[m], delta),
+                                  on_overflow="round"), 1e-9, R)
+            img = (np.asarray(kernel(v_s, idx)) - tv) / delta
+            cols.append(img - Phi[:, m])                   # (gamma P - I)phi
+        A = np.stack(cols, axis=1)                         # [N, M]
+        c, *_ = np.linalg.lstsq(
+            A.astype(np.float64),
+            -d.astype(np.float64), rcond=None)
+        # Tikhonov-ish guard: huge shifts mean the local model is invalid
+        c = np.clip(c, -0.2 * scale, 0.2 * scale)
+        for m in range(M):
+            v = tt_round(tt_add(v, _scale_tt(modes[m], float(c[m])),
+                                on_overflow="round"), 1e-9, R)
+        history.append({"iter": it, "mean_defect": float(d.mean()),
+                        "rms_defect": float(np.sqrt((d ** 2).mean())),
+                        "coeffs": [float(x) for x in c]})
+        if verbose:
+            print(f"[modes] it={it} mean_d={d.mean():+.4f} "
+                  f"rms_d={np.sqrt((d**2).mean()):.4f} "
+                  f"c={np.round(c, 3)}", flush=True)
+        if float(np.abs(c).max()) < damping * scale:
+            break
+    return v, history
+
+
+def _scale_tt(tt: TT, alpha: float) -> TT:
+    return TT((tt.cores[0] * alpha,) + tt.cores[1:], tt.ranks)
+
+
 # ---------------------------------------------------------------- driver
 
 
