@@ -66,7 +66,7 @@ from c3sc_tpu.solvers.dense import dense_vi
 from c3sc_tpu.solvers.fused import fused_tt_vi
 from c3sc_tpu.solvers.local_patch import (make_patched_value_fn,
                                           two_level_solve)
-from c3sc_tpu.solvers.polish import level_correct, tt_polish
+from c3sc_tpu.solvers.polish import level_correct, mode_correct, tt_polish
 
 ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 
@@ -163,6 +163,9 @@ def main():
     # stage's bias nearly unchanged through any affordable ladder; the
     # Newton shift is oracle-free and policy-invariant (polish.py)
     v_lc, lc_hist = level_correct(prob, grid, controls, psol.v)
+    # then the full slow-mode subspace (constant + per-dim ramps): the
+    # level-corrected remainder is a smooth zero-mean-defect field
+    v_lc, mc_hist = mode_correct(prob, grid, controls, v_lc)
     t0 = time.time()
     tl = two_level_solve(prob, grid, controls, v_lc,
                          rmax=args.polish_rmax, cycles=args.cycles,
@@ -307,6 +310,7 @@ def main():
             "fused_iterations": fsol.iterations,
             "polish_steps": len(psol.history),
             "level_correction": lc_hist,
+            "mode_correction": mc_hist,
             "tt_ranks": [int(r) for r in np.asarray(tl.v.ranks)],
             "patch_nodes": int(np.prod(tl.patch.subgrid.shape)),
             "wall_s": {"fused": round(wall_fused, 1),
