@@ -10,11 +10,14 @@ round-3 single-process harness at 0.38-0.58):
 
 - ``--mode multiproc`` (DEFAULT, the honest simulation): one "host" = one
   ``jax.distributed`` PROCESS pinned with ``taskset`` to its own physical
-  core, each with ONE virtual CPU device. N processes form a global mesh
-  (``parallel.distributed.global_mesh``), the solve batch is sharded over
-  it through the production ``make_batch_stepper`` path, and walls are
-  measured on process 0 between ``sync_global_devices`` barriers. This
-  matches the real multi-host setting: separate XLA runtimes, separate
+  core, each with ONE virtual CPU device. Each process runs its LOCAL
+  slice of the solve batch with a local ``make_fused_vi`` stepper (see
+  ``mp_worker``); inter-host communication happens only at dispatch and
+  collection, exactly like the BASELINE "solves/s" batch-throughput
+  metric — this does NOT exercise the sharded single-solve code path
+  (``tests/test_distributed.py`` and the dryrun's sharded-equality check
+  cover that; ADVICE r4 finding). Walls are measured on process 0 between
+  ``sync_global_devices`` barriers, with separate XLA runtimes, separate
   dispatch threads, no shared intra-op pool.
 - ``--mode inproc`` (kept for comparison, KNOWN-CONFOUNDED): N virtual
   devices inside one process share one XLA runtime/thread pool; the r3

@@ -68,9 +68,12 @@ class Grid:
                 assert not periodic[k], \
                     "periodic dims must be uniform (reference convention)"
                 assert abs(nk[0] - lb[k]) < 1e-9 and abs(nk[-1] - ub[k]) < 1e-9
-            # drop the override when it is exactly the uniform grid — keeps
-            # the closed-form fast paths
-            if all(np.allclose(nk, np.linspace(lb[k], ub[k], len(nk)))
+            # drop the override only when it is EXACTLY the uniform grid
+            # (bitwise after float round-trip) — a tolerance here would
+            # silently swap the stencil of a deliberately near-uniform
+            # grid (ADVICE r4 finding)
+            if all(np.array_equal(np.asarray(nk),
+                                  np.linspace(lb[k], ub[k], len(nk)))
                    for k, nk in enumerate(override)):
                 override = None
         return Grid(tuple(map(float, lb)), tuple(map(float, ub)),

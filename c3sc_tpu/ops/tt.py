@@ -413,6 +413,9 @@ def tt_integrate(tt: TT, grid=None, weights: Sequence | None = None) -> jnp.ndar
             elif grid.uniform:
                 h = float(grid.h[k])
                 w = jnp.full((n,), h).at[0].mul(0.5).at[n - 1].mul(0.5)
+            elif n == 1:
+                # degenerate single-node dim: np.diff is empty (ADVICE r4)
+                w = jnp.ones((1,))
             else:
                 # trapezoid weights on arbitrary nodes: w_i = (gap_l+gap_r)/2
                 gaps = np.diff(grid.nodes(k))

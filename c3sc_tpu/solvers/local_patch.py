@@ -99,14 +99,18 @@ def solve_local_patch(
                                              dtype)
     # faces of the SUB-BOX are Dirichlet (TT data) — _precompute's terminal
     # classification treated them as the problem's absorbing faces, which
-    # they are not; interior obstacle terminals would still be honored by
-    # the parent solve and are excluded from central patches by assumption
+    # they are not. Interior terminal nodes (obstacle / goal regions per
+    # mca.node_terminal, e.g. the Dubins goal disc at the domain center)
+    # MUST keep the parent operator's pinning — the patch VI would
+    # otherwise solve through them (ADVICE r4 medium finding).
     idx = np.stack([m.ravel() for m in np.meshgrid(
         *[np.arange(n) for n in sub_shape], indexing="ij")], -1)
     face = np.zeros(idx.shape[0], bool)
     for k, n in enumerate(sub_shape):
         face |= (idx[:, k] == 0) | (idx[:, k] == n - 1)
     face = jnp.asarray(face)
+    in_obs = problem.in_obstacle(x)                      # [N] interior pins
+    obs_val = problem.obstacle_cost(x).astype(dtype)
 
     v0 = value_fn(x).astype(dtype)                       # TT data everywhere
     stencil = dict(pp=pp, pm=pm, gdt=g * dt,
@@ -121,6 +125,8 @@ def solve_local_patch(
                 + jnp.einsum("cnd,nd->cn", st["pm"], vm))
             vnew = jnp.min(rhs, axis=0)
             vnew = jnp.where(face, v0_flat, vnew)         # Dirichlet faces
+            # obstacle/goal pinning takes precedence (mca.node_terminal)
+            vnew = jnp.where(in_obs, obs_val, vnew)
             return vnew.reshape(sub_shape), None
 
         def body(_, carry):

@@ -247,8 +247,13 @@ def level_correct(
              misses; the naive mean(d)/(1-gamma_bar) overshoots 1.6x)
         c  = mean(T(v) - v) / (1 - s)
         v <- v + c
-    Two kernel evaluations per iteration, oracle-free, policy-invariant
-    (a constant shift never changes an argmin).
+    Two kernel evaluations per iteration, oracle-free, and approximately
+    policy-invariant: Q(u) = g dt(u) + e^{-beta dt(u)} (p . v) has
+    control-dependent dt, so a constant shift c perturbs Q differences by
+    O(beta |dt_i - dt_j| c) and can flip near-tied argmins (terminal
+    pinning also makes the effective shift non-uniform) — which is
+    exactly why the measured slope s, not a closed-form gamma_bar, is
+    used (ADVICE r4 finding).
     """
     if kernel is None:
         kernel = make_bellman_kernel(problem, grid,
