@@ -5,11 +5,12 @@ Reference: ``c3sc/examples/<system>/`` — line n/a (empty mount); systems match
 """
 
 from c3sc_tpu.models.base import Boundary, ControlProblem, Obstacle
-from c3sc_tpu.models.lq import make_lq_problem, lqr_solution
+from c3sc_tpu.models.lq import make_lq_family, make_lq_problem, lqr_solution
 from c3sc_tpu.models.pendulum import make_pendulum_problem
 from c3sc_tpu.models.dubins import make_dubins_problem
 from c3sc_tpu.models.glider import make_glider_problem
 from c3sc_tpu.models.quadcopter import (make_quadcopter7_problem,
+                                         make_quadcopter_family,
                                          make_quadcopter_problem)
 
 REGISTRY = {

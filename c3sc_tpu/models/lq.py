@@ -66,6 +66,56 @@ def make_lq_problem(
     )
 
 
+def make_lq_family(
+    q: float = 1.0,
+    r: float = 1.0,
+    sigma: float = 1.0,
+    beta: float = 1.0,
+    xmax: float = 2.0,
+    umax: float = 6.0,
+):
+    """Setpoint-tracking LQ problem FAMILY: ``family(theta) ->
+    ControlProblem`` with stage cost (x - theta)' Q (x - theta) + u' R u.
+
+    theta [2] may be a traced array — the closures are pure JAX functions
+    of (x, u, theta), which is what lets ``sim/tracking.py`` re-solve a
+    cost change as a dispatch of one compiled program instead of a
+    recompile (the time-varying-cost north-star sentence).
+    """
+    Q = np.eye(2) * q
+    R = np.eye(1) * r
+    P, c, _ = lqr_solution(q=q, r=r, sigma=sigma, beta=beta)
+
+    def family(theta):
+        theta = jnp.asarray(theta)
+
+        def stage_cost(x, u):
+            e = x - theta
+            return e @ (jnp.asarray(Q) @ e) + u @ (jnp.asarray(R) @ u)
+
+        def boundary_cost(x):
+            e = x - theta
+            return e @ (jnp.asarray(P) @ e) + c
+
+        return ControlProblem(
+            dx=2, du=1, dw=1,
+            lb=(-xmax, -xmax), ub=(xmax, xmax),
+            boundary=(Boundary.ABSORB, Boundary.ABSORB),
+            ulb=(-umax,), uub=(umax,),
+            drift=lambda x, u: jnp.stack([x[1], u[0]]),
+            diff=lambda x, u: jnp.array([[0.0], [sigma]]),
+            stage_cost=stage_cost, boundary_cost=boundary_cost,
+            drift_f0=lambda x: jnp.stack([x[1], jnp.zeros(())]),
+            drift_G=lambda x: jnp.array([[0.0], [1.0]]),
+            sigma2_x=lambda x: jnp.array([0.0, sigma**2]),
+            cost_q=lambda x: (x - theta) @ (jnp.asarray(Q) @ (x - theta)),
+            cost_r=lambda u: u @ (jnp.asarray(R) @ u),
+            beta=beta, name="lq_tracking",
+        )
+
+    return family
+
+
 def lqr_solution(q: float = 1.0, r: float = 1.0, sigma: float = 1.0, beta: float = 1.0):
     """Analytic discounted stochastic LQR: returns (P [2,2], const, K [1,2])
     with V(x) = x'Px + const and u*(x) = -K x."""

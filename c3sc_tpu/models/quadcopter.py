@@ -16,6 +16,8 @@ Quadratic stage cost to hover at the origin.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,6 +132,42 @@ def _g_sup(w_pos, w_th, w_vel, w_om, w_u, pos_max, th_max, vel_max, om_max,
         w_pos * 2 * pos_max**2 + w_th * th_max**2 + w_vel * 2 * vel_max**2
         + w_om * om_max**2 + w_u * 2 * max(hover, u_max - hover) ** 2
     )
+
+
+def make_quadcopter_family(**kwargs):
+    """Moving-hover-target quadcopter FAMILY: ``family(theta) ->
+    ControlProblem`` where theta [2] = (x*, z*) is the hover target the
+    position cost tracks. All other terms match
+    ``make_quadcopter_problem`` exactly; theta may be a traced array, so
+    ``sim/tracking.py`` re-solves a target move as a dispatch of one
+    compiled program (the north-star time-varying-cost loop;
+    BASELINE.json north_star sentence 2)."""
+    base = make_quadcopter_problem(**kwargs)
+    w_pos = kwargs.get("w_pos", 2.0)
+    b_cost_q, b_stage = base.cost_q, base.stage_cost
+
+    def family(theta):
+        theta = jnp.asarray(theta)
+
+        def cost_q(x):
+            # replace the origin-centered position term with the target-
+            # centered one; every other term is the base problem's
+            return (b_cost_q(x)
+                    - w_pos * (x[0] ** 2 + x[1] ** 2)
+                    + w_pos * ((x[0] - theta[0]) ** 2
+                               + (x[1] - theta[1]) ** 2))
+
+        def stage_cost(x, u):
+            return (b_stage(x, u)
+                    - w_pos * (x[0] ** 2 + x[1] ** 2)
+                    + w_pos * ((x[0] - theta[0]) ** 2
+                               + (x[1] - theta[1]) ** 2))
+
+        return dataclasses.replace(base, cost_q=cost_q,
+                                   stage_cost=stage_cost,
+                                   name="quadcopter_tracking")
+
+    return family
 
 
 def make_quadcopter7_problem(

@@ -112,6 +112,8 @@ def coarse_correct(
     chunk: int = 32768,
     gate: bool = True,
     gate_slack: float = 1.05,
+    clip_mult: float = 6.0,
+    alphas: Sequence[float] = (1.0, 0.5, 0.25),
     verbose: bool = False,
     node_value_fn=None,
 ):
@@ -119,7 +121,18 @@ def coarse_correct(
 
     Returns (v_new, TwoGridInfo). With ``gate=True`` the correction is
     kept only if the sampled sup-defect does not regress more than
-    ``gate_slack`` (one-sided: the target error is defect-invisible).
+    ``gate_slack`` (one-sided: the target error is defect-invisible);
+    step sizes ``alphas`` are tried in order and the first that passes
+    wins (backtracking — a large coarse step from a rough base can
+    overshoot).
+
+    ``clip_mult``: robust clipping of the restricted defect rate at
+    clip_mult x (1.48 median |d|) over non-terminal coarse nodes. On
+    problems with ABSORB faces the TT base smooths the exit-cost C0 jump
+    over one cell, so the face-ring defect is orders of magnitude above
+    the interior's — real, but a rough-mode artifact for the SMOOTHER,
+    not a smooth defect; unclipped it poisons the whole coarse solve
+    (measured: 9^6 quad, |e|_max 240 on a value range of 22).
     """
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
@@ -194,7 +207,24 @@ def coarse_correct(
     A = sp.csr_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(N_c, N_c))
-    rhs = np.where(tm, d_f, (dt_c / np.maximum(dt_f, 1e-30)) * d_f)
+    rate = (dt_c / np.maximum(dt_f, 1e-30)) * d_f
+    # robust clip of the defect rate ON THE TERMINAL-ADJACENT RING ONLY
+    # (see docstring): the C0 exit-cost jump of absorbing-boundary
+    # problems is rough-mode content for the smoother, not smooth defect
+    # for this solve; away from the ring the defect is real signal
+    # (clipping it globally measurably hurt the pendulum cycle)
+    ring = np.zeros(N_c, bool)
+    for k in range(d):
+        for sgn in (+1, -1):
+            j = _coarse_neighbor_linear(gc, idx_c, k, sgn)
+            ring |= tm[j]
+    ring &= ~tm
+    sig = 1.48 * np.median(np.abs(rate[~tm & ~ring])) \
+        if (~tm & ~ring).any() else 0.0
+    if clip_mult > 0 and sig > 0:
+        rate = np.where(ring, np.clip(rate, -clip_mult * sig,
+                                      clip_mult * sig), rate)
+    rhs = np.where(tm, d_f, rate)
     e_c = spla.spsolve(A.tocsc(), rhs)
     e_dense = e_c.reshape(shape_c)
 
@@ -203,9 +233,8 @@ def coarse_correct(
     e_tt_c = tt_from_dense(jnp.asarray(e_dense, jnp.float32),
                            rmax=min(rmax_corr, R), tol=corr_tol)
     e_tt = tt_refine_grid(_repad(e_tt_c, R), gc, grid)
-    v_new = tt_round(tt_add(v, e_tt, on_overflow="round"), 1e-8, R)
 
-    # gate on the sampled sup-defect (one-sided)
+    # gate on the sampled sup-defect (one-sided), backtracking step sizes
     rng = np.random.default_rng(seed)
     check = jnp.asarray(np.stack([rng.integers(0, n, n_check)
                                   for n in grid.shape], -1), jnp.int32)
@@ -218,15 +247,25 @@ def coarse_correct(
             vvv = np.asarray(node_value_fn(vt, check))
         return float(np.max(np.abs(tvv - vvv)))
 
-    b0, b1 = _bres(v), _bres(v_new)
-    accepted = (not gate) or (b1 <= gate_slack * b0)
+    from c3sc_tpu.ops.tt import tt_scale
+
+    b0 = _bres(v)
+    accepted, b1, v_out, alpha_used = False, b0, v, 0.0
+    for alpha in (alphas if gate else alphas[:1]):
+        v_try = tt_round(tt_add(v, tt_scale(e_tt, float(alpha)),
+                                on_overflow="round"), 1e-8, R)
+        b_try = _bres(v_try)
+        if (not gate) or b_try <= gate_slack * b0:
+            accepted, b1, v_out, alpha_used = True, b_try, v_try, alpha
+            break
     info = TwoGridInfo(
         defect_rms_before=float(np.sqrt((d_f ** 2).mean())),
         defect_rms_after=float("nan"),
         bres_before=b0, bres_after=b1,
-        correction_scale=float(np.abs(e_c).max()),
+        correction_scale=float(np.abs(e_c).max()) * (alpha_used or 1.0),
         accepted=bool(accepted))
     if verbose:
-        print(f"[twogrid] |e|_max={info.correction_scale:.4f} "
-              f"bres {b0:.4f} -> {b1:.4f} accepted={accepted}", flush=True)
-    return (v_new if accepted else v), info
+        print(f"[twogrid] |e|_max={float(np.abs(e_c).max()):.4f} "
+              f"alpha={alpha_used} bres {b0:.4f} -> {b1:.4f} "
+              f"accepted={accepted}", flush=True)
+    return v_out, info

@@ -85,36 +85,45 @@ def main():
           f"[{wall_f:.0f}s]", flush=True)
 
     from c3sc_tpu.ops.tt import _repad
+    from c3sc_tpu.solvers.ttvi import make_bellman_kernel
+
+    kernel = make_bellman_kernel(prob, grid,
+                                 jnp.asarray(controls, jnp.float32),
+                                 chunk=32768)
     v = _repad(fsol.v, args.rmax_polish)
     walls = {"fused": wall_f}
+    state = None
     for cyc in range(args.cycles):
-        t0 = time.time()
-        v, info = coarse_correct(prob, grid, controls, v, verbose=True,
-                                 rmax_corr=32)
-        tc = time.time() - t0
-        q = parity(v)
-        print(f"cycle {cyc} coarse [{tc:.0f}s]: q95={q[0]:.4f}/{q[1]:.4f} "
-              f"accepted={info.accepted}", flush=True)
         t0 = time.time()
         if args.smoother == "pials":
             v = pi_als(prob, grid, controls, v, rmax=args.rmax_polish,
                        schedule=((args.pials_outers, args.pials_cap),),
                        oversample=args.pials_oversample,
-                       lam_rel=args.pials_lam, sweeps=1, verbose=True).v
+                       lam_rel=args.pials_lam, sweeps=1, verbose=True,
+                       kernel=kernel).v
         elif args.smoother == "polish":
-            v = tt_polish(prob, grid, controls, v, rmax=args.rmax_polish,
-                          schedule=((args.polish_steps, args.rmax_polish),),
-                          check_every=4).v
+            psol = tt_polish(prob, grid, controls, v, rmax=args.rmax_polish,
+                             schedule=((args.polish_steps,
+                                        args.rmax_polish),),
+                             check_every=4, kernel=kernel, state=state)
+            v, state = psol.v, psol.state
         ts = time.time() - t0
         q = parity(v)
         print(f"cycle {cyc} smooth [{ts:.0f}s]: q95={q[0]:.4f}/{q[1]:.4f}",
               flush=True)
+        t0 = time.time()
+        v, info = coarse_correct(prob, grid, controls, v, verbose=True,
+                                 rmax_corr=32, kernel=kernel)
+        tc = time.time() - t0
+        q = parity(v)
+        print(f"cycle {cyc} coarse [{tc:.0f}s]: q95={q[0]:.4f}/{q[1]:.4f} "
+              f"accepted={info.accepted}", flush=True)
         walls[f"cycle{cyc}"] = {"coarse": round(tc, 1),
                                 "smooth": round(ts, 1)}
 
     t0 = time.time()
-    v, lc = level_correct(prob, grid, controls, v)
-    v, mc = mode_correct(prob, grid, controls, v)
+    v, lc = level_correct(prob, grid, controls, v, kernel=kernel)
+    v, mc = mode_correct(prob, grid, controls, v, kernel=kernel)
     q = parity(v)
     print(f"level+mode [{time.time()-t0:.0f}s]: q95={q[0]:.4f}/{q[1]:.4f}",
           flush=True)
