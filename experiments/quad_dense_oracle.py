@@ -64,9 +64,12 @@ from c3sc_tpu.sim.mpc_shoot import receding_horizon_rollout
 from c3sc_tpu.sim.policy import q_values
 from c3sc_tpu.solvers.dense import dense_vi
 from c3sc_tpu.solvers.fused import fused_tt_vi
+from c3sc_tpu.solvers.gating import gated_apply, make_greedy_probe
 from c3sc_tpu.solvers.local_patch import (make_patched_value_fn,
-                                          two_level_solve)
+                                          solve_local_patch)
 from c3sc_tpu.solvers.polish import level_correct, mode_correct, tt_polish
+from c3sc_tpu.solvers.twogrid import coarse_correct
+from c3sc_tpu.solvers.ttvi import make_bellman_kernel
 
 ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 
@@ -93,12 +96,13 @@ def dense_solve(prob, grid, controls, tol, cache):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=9)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="solver lineage key (VERDICT r4 next #1: the "
+                         "pass must hold on >=3 independent keys)")
     ap.add_argument("--rmax", type=int, default=16)
     ap.add_argument("--polish-rmax", type=int, default=64)
-    ap.add_argument("--schedule", type=str, default="6:24,8:40,105:64")
-    ap.add_argument("--average-tail", type=int, default=96)
-    ap.add_argument("--reroll-every", type=int, default=15)
-    ap.add_argument("--cycles", type=int, default=2)
+    ap.add_argument("--cycles", type=int, default=7,
+                    help="[polish-smooth + coarse-grid-correct] cycles")
     ap.add_argument("--cycle-steps", type=int, default=10)
     ap.add_argument("--margin", type=int, default=1)
     ap.add_argument("--max-iters", type=int, default=1500)
@@ -113,8 +117,6 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    schedule = tuple(tuple(map(int, s.split(":")))
-                     for s in args.schedule.split(","))
 
     prob = make_quadcopter_problem(sigma_v=0.15, sigma_om=0.15)
     grid = prob.default_grid(args.n)
@@ -142,42 +144,72 @@ def main():
                          "max": float(rel[sl].max())},
         }
 
-    # --- production: fused -> polish -> two-level cycles ---
+    # --- production (round-5 recipe): fused -> [polish-smooth +
+    # global coarse-grid correction] cycles -> gated level/mode
+    # corrections -> local patch completion ---
+    from c3sc_tpu.ops.tt import _repad
+
     t0 = time.time()
     fsol = fused_tt_vi(
-        prob, grid, controls=controls, rmax=args.rmax, key=jax.random.key(0),
+        prob, grid, controls=controls, rmax=args.rmax,
+        key=jax.random.key(args.seed),
         tol=2e-4, max_iters=args.max_iters, patience=25,
         probe_rollouts=args.probe, probe_steps=500, probe_dt=0.01,
     )
     wall_fused = time.time() - t0
-    print(f"fused: it={fsol.iterations} res={fsol.residual:.2e} "
-          f"[{wall_fused:.0f}s]", flush=True)
+    print(f"fused[seed={args.seed}]: it={fsol.iterations} "
+          f"res={fsol.residual:.2e} [{wall_fused:.0f}s]", flush=True)
+
+    kernel = make_bellman_kernel(prob, grid,
+                                 jnp.asarray(controls, jnp.float32),
+                                 chunk=32768)
     t0 = time.time()
-    psol = tt_polish(prob, grid, controls, fsol.v, rmax=args.polish_rmax,
-                     schedule=schedule, check_every=2,
-                     average_tail=args.average_tail,
-                     reroll_every=args.reroll_every)
+    v = _repad(fsol.v, args.polish_rmax)
+    state = None
+    cyc_hist = []
+    for cyc in range(args.cycles):
+        psol = tt_polish(prob, grid, controls, v, rmax=args.polish_rmax,
+                         schedule=((args.cycle_steps, args.polish_rmax),),
+                         check_every=4, kernel=kernel, state=state,
+                         key=jax.random.key(1000 * args.seed + cyc))
+        v, state = psol.v, psol.state
+        v, cinfo = coarse_correct(prob, grid, controls, v, kernel=kernel,
+                                  rmax_corr=32, verbose=True)
+        cyc_hist.append({"cycle": cyc,
+                         "coarse_accepted": cinfo.accepted,
+                         "bres": cinfo.bres_after})
     wall_polish = time.time() - t0
-    # scalar slow-mode (value-level) defect correction: the level is the
-    # SLOWEST VI mode (gamma_bar ~0.996/step) and carries the fused
-    # stage's bias nearly unchanged through any affordable ladder; the
-    # Newton shift is oracle-free and policy-invariant (polish.py)
-    v_lc, lc_hist = level_correct(prob, grid, controls, psol.v)
-    # then the full slow-mode subspace (constant + per-dim ramps): the
-    # level-corrected remainder is a smooth zero-mean-defect field
-    v_lc, mc_hist = mode_correct(prob, grid, controls, v_lc)
+    # gated slow-mode corrections (VERDICT r4 next #2: measured
+    # accept/reject around EVERY correction stage)
+    probe = make_greedy_probe(prob, grid, controls, n_rollouts=24,
+                              n_steps=250, dt=0.01)
+    lc_hist, mc_hist = [], []
+
+    def _lc(vt):
+        out, h = level_correct(prob, grid, controls, vt, kernel=kernel)
+        lc_hist.extend(h)
+        return out
+
+    def _mc(vt):
+        out, h = mode_correct(prob, grid, controls, vt, kernel=kernel)
+        mc_hist.extend(h)
+        return out
+
+    v, g_lc = gated_apply(prob, grid, controls, v, _lc, name="level",
+                          kernel=kernel, probe_fn=probe, verbose=True)
+    v, g_mc = gated_apply(prob, grid, controls, v, _mc, name="modes",
+                          kernel=kernel, probe_fn=probe, verbose=True)
+
     t0 = time.time()
-    tl = two_level_solve(prob, grid, controls, v_lc,
-                         rmax=args.polish_rmax, cycles=args.cycles,
-                         cycle_schedule=((args.cycle_steps,
-                                          args.polish_rmax),),
-                         margin=args.margin)
+    patch = solve_local_patch(prob, grid,
+                              lambda p: tt_lerp_eval(v, grid, p),
+                              controls, margin=args.margin, tol=1e-5)
     wall_tl = time.time() - t0
-    print(f"polish [{wall_polish:.0f}s] + two-level [{wall_tl:.0f}s]",
+    print(f"cycles [{wall_polish:.0f}s] + patch [{wall_tl:.0f}s]",
           flush=True)
 
-    vfn_tt = lambda p: tt_lerp_eval(tl.v, grid, p)
-    vfn_prod = make_patched_value_fn(grid, vfn_tt, tl.patch)
+    vfn_tt = lambda p: tt_lerp_eval(v, grid, p)
+    vfn_prod = make_patched_value_fn(grid, vfn_tt, patch)
     vfn_dense = lambda p: multilinear_interp(grid, v_dense, p)
 
     # deployed composite on the full node set
@@ -186,7 +218,7 @@ def main():
     v_comp = np.asarray(
         jax.jit(vfn_prod)(mesh_x)).reshape(grid.shape)
     par_fused = parity(np.asarray(tt_full(fsol.v)))
-    par_polish = parity(np.asarray(tt_full(psol.v)))
+    par_polish = parity(np.asarray(tt_full(v)))
     par_prod = parity(v_comp)
     print(f"value parity interior q95: fused "
           f"{par_fused['interior']['q95']:.3%} -> polish "
@@ -295,27 +327,31 @@ def main():
             "mean_cost": c_o, "survival": surv_o,
         },
         "config": {
-            "grid": list(grid.shape), "rmax": args.rmax,
-            "polish_rmax": args.polish_rmax, "schedule": args.schedule,
-            "two_level_cycles": args.cycles, "patch_margin": args.margin,
+            "grid": list(grid.shape), "seed": args.seed, "rmax": args.rmax,
+            "polish_rmax": args.polish_rmax,
+            "cycles": args.cycles, "cycle_steps": args.cycle_steps,
+            "patch_margin": args.margin,
             "controls": len(controls), "rollouts": args.rollouts,
             "rollout_steps": args.steps, "mpc_horizon": args.horizon,
             "backend": jax.default_backend(),
-            "recipe": ("fused cross-VI -> frozen-target two-site polish "
-                       "-> two-level TT + local dense completion "
-                       "(docs/DESIGN.md round-4 campaign)"),
+            "recipe": ("fused cross-VI -> [two-site polish smoothing + "
+                       "global coarse-grid correction] cycles -> GATED "
+                       "level/mode corrections -> local dense completion "
+                       "(round-5 two-grid campaign)"),
         },
         "production": {
             "mean_cost": c_p, "survival": surv_p,
             "fused_iterations": fsol.iterations,
-            "polish_steps": len(psol.history),
-            "level_correction": lc_hist,
-            "mode_correction": mc_hist,
-            "tt_ranks": [int(r) for r in np.asarray(tl.v.ranks)],
-            "patch_nodes": int(np.prod(tl.patch.subgrid.shape)),
+            "cycles": cyc_hist,
+            "level_correction": {"accepted": g_lc.accepted,
+                                 "history": lc_hist},
+            "mode_correction": {"accepted": g_mc.accepted,
+                                "history": mc_hist},
+            "tt_ranks": [int(r) for r in np.asarray(v.ranks)],
+            "patch_nodes": int(np.prod(patch.subgrid.shape)),
             "wall_s": {"fused": round(wall_fused, 1),
-                       "polish": round(wall_polish, 1),
-                       "two_level": round(wall_tl, 1)},
+                       "cycles": round(wall_polish, 1),
+                       "patch": round(wall_tl, 1)},
         },
         "value_parity_rel_to_range": {
             "fused": par_fused, "polished_tt": par_polish,
@@ -350,11 +386,13 @@ def main():
                      and (dep_pass if dep_pass is not None
                           else greedy_pass)),
     }
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "NORTHSTAR.json")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(root, f"NORTHSTAR_seed{args.seed}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
+    # NORTHSTAR.json is written by experiments/northstar_aggregate.py as
+    # the WORST CASE over the seed artifacts (VERDICT r4 next #1)
 
 
 if __name__ == "__main__":
