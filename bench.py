@@ -195,6 +195,39 @@ def main():
                 "backups_per_s": round(r32_rate, 1), **r32_detail}
         except Exception as e:
             print(f"bench: scaled config failed: {e}", file=sys.stderr)
+    # time-varying-cost replan latency (BASELINE north-star sentence 2;
+    # VERDICT r4 next #5): one warm `update(carry, theta', n)` dispatch of
+    # the tracking solver after a hover-target move — same compiled
+    # program, new theta.
+    if os.environ.get("C3SC_BENCH_SKIP_TRACKING") != "1" and remaining() > 240:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from c3sc_tpu.models import make_quadcopter_family
+            from c3sc_tpu.sim.tracking import make_tracking_solver
+
+            family = make_quadcopter_family(sigma_v=0.15, sigma_om=0.15)
+            prob0 = family(jnp.zeros(2))
+            tgrid = prob0.default_grid(9)
+            tsolver = make_tracking_solver(
+                family, tgrid, prob0.control_candidates(5), rmax=16,
+                solver_kwargs={"sample_size": 256})
+            carry = tsolver.init(jnp.zeros(2), jax.random.key(0),
+                                 n_iters=300)
+            carry = tsolver.update(carry, jnp.array([0.3, 0.1]), 10)
+            jax.block_until_ready(carry.residual)
+            lats = []
+            for i in range(5):
+                th = jnp.array([0.1 * i - 0.2, 0.05 * i])
+                t2 = time.perf_counter()
+                carry = tsolver.update(carry, th, 10)
+                jax.block_until_ready(carry.residual)
+                lats.append(time.perf_counter() - t2)
+            extras["tracking_cost_update_replan_ms"] = round(
+                1e3 * float(np.median(lats)), 2)
+        except Exception as e:
+            print(f"bench: tracking latency failed: {e}", file=sys.stderr)
     if os.environ.get("C3SC_BENCH_SKIP_CPU") != "1" and remaining() > 120:
         core = _cpu_core_rate(timeout=max(120.0, remaining()))
         if core:

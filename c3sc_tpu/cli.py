@@ -43,6 +43,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outdir", type=str, default=None)
     p.add_argument("--load", type=str, default=None, help="load saved value fn / checkpoint")
     p.add_argument("--save-every", type=int, default=100, help="checkpoint cadence")
+    p.add_argument("--save-format", choices=["npz", "c3tt"], default="npz",
+                   help="value-function format: npz (padded cores) or the "
+                        "compact active-rank c3tt binary (native/ "
+                        "serializer, C3 function_train_save parity)")
+    p.add_argument("--policy-basis", choices=["linelm", "poly"],
+                   default="linelm",
+                   help="rollout policy value basis: grid linelm (default)"
+                        " or an orthonormal-polynomial FT re-expansion "
+                        "(C3 polynomials.c class; ops/ft.py)")
     p.add_argument("--probe", type=int, default=0,
                    help="fused solver: closed-loop probe rollouts for best-iterate harvesting")
     p.add_argument("--plot", action="store_true", help="write value/trajectory plots")
@@ -111,7 +120,12 @@ def main(argv=None):
             if args.load:
                 from c3sc_tpu.utils.checkpoint import is_fused_checkpoint
 
-                if is_fused_checkpoint(args.load):
+                if args.load.endswith(".c3tt"):
+                    from c3sc_tpu.native import tt_from_active, tt_load_binary
+
+                    v0 = tt_from_active(tt_load_binary(args.load),
+                                        rmax=args.rmax)
+                elif is_fused_checkpoint(args.load):
                     resume_from = args.load
                 else:
                     from c3sc_tpu.utils import load_solver_state
@@ -149,7 +163,20 @@ def main(argv=None):
             summary = dict(solver="pi", residual=float(sol.residual),
                            outer_iters=sol.outer_iters, evals=sol.n_evals,
                            wall=round(sol.wall_time, 2))
-        value_fn = lambda pts: tt_lerp_eval(sol.v, grid, pts)
+        if args.save_format == "c3tt":
+            from c3sc_tpu.native import have_native, tt_save_binary, tt_to_active
+
+            tt_path = os.path.join(outdir, "vf.c3tt")
+            tt_save_binary(tt_path, tt_to_active(sol.v))
+            summary["c3tt_file"] = tt_path
+            summary["c3tt_native"] = have_native()
+        if args.policy_basis == "poly":
+            from c3sc_tpu.ops.ft import ft_eval, ft_from_tt
+
+            ft = ft_from_tt(sol.v, grid)
+            value_fn = lambda pts: ft_eval(ft, pts)
+        else:
+            value_fn = lambda pts: tt_lerp_eval(sol.v, grid, pts)
 
     summary["solve_wall_s"] = round(time.time() - t0, 2)
 

@@ -89,6 +89,20 @@ def _coarse_neighbor_linear(gc: Grid, idx: np.ndarray, dim: int, step: int):
     return out @ strides
 
 
+@jax.jit
+def _blend(vt: TT, et: TT, alpha):
+    """v + alpha * e, rounded back to v's padding — ONE compiled program.
+
+    Eagerly, tt_add's traced-rank path + tt_round are ~40 small QR/SVD
+    ops; on the axon backend that is ~40 tunnel round-trips (~40 s) PER
+    step-size candidate."""
+    from c3sc_tpu.ops.tt import tt_scale
+
+    R = vt.cores[0].shape[0]
+    return tt_round(tt_add(vt, tt_scale(et, alpha), on_overflow="round"),
+                    1e-8, R)
+
+
 @dataclasses.dataclass
 class TwoGridInfo:
     defect_rms_before: float
@@ -247,13 +261,10 @@ def coarse_correct(
             vvv = np.asarray(node_value_fn(vt, check))
         return float(np.max(np.abs(tvv - vvv)))
 
-    from c3sc_tpu.ops.tt import tt_scale
-
     b0 = _bres(v)
     accepted, b1, v_out, alpha_used = False, b0, v, 0.0
     for alpha in (alphas if gate else alphas[:1]):
-        v_try = tt_round(tt_add(v, tt_scale(e_tt, float(alpha)),
-                                on_overflow="round"), 1e-8, R)
+        v_try = _blend(v, e_tt, jnp.asarray(float(alpha), jnp.float32))
         b_try = _bres(v_try)
         if (not gate) or b_try <= gate_slack * b0:
             accepted, b1, v_out, alpha_used = True, b_try, v_try, alpha

@@ -200,13 +200,27 @@ def main():
     v, g_mc = gated_apply(prob, grid, controls, v, _mc, name="modes",
                           kernel=kernel, probe_fn=probe, verbose=True)
 
+    # two-level TT+patch cycles (r4 machinery, KEPT in r5: the composite-
+    # kernel polish refreshes the TT at the patch ring, which is what the
+    # deployment controller's terminal values live on — the r5a run that
+    # dropped this stage passed the value bar but FAILED deployment at
+    # +9.3%, experiments/northstar_r5_seed0.log first attempt)
+    from c3sc_tpu.solvers.local_patch import two_level_solve
+
     t0 = time.time()
-    patch = solve_local_patch(prob, grid,
-                              lambda p: tt_lerp_eval(v, grid, p),
-                              controls, margin=args.margin, tol=1e-5)
+    tl = two_level_solve(prob, grid, controls, v, rmax=args.polish_rmax,
+                         cycles=2, cycle_schedule=((args.cycle_steps,
+                                                    args.polish_rmax),),
+                         margin=args.margin)
+    v, patch = tl.v, tl.patch
     wall_tl = time.time() - t0
-    print(f"cycles [{wall_polish:.0f}s] + patch [{wall_tl:.0f}s]",
+    print(f"cycles [{wall_polish:.0f}s] + two-level [{wall_tl:.0f}s]",
           flush=True)
+    from c3sc_tpu.ops.tt import tt_save
+
+    tt_save(os.path.join(ART, f"northstar_seed{args.seed}_v.npz"), v)
+    np.savez(os.path.join(ART, f"northstar_seed{args.seed}_patch.npz"),
+             v=np.asarray(patch.v), lo=patch.lo, hi=patch.hi)
 
     vfn_tt = lambda p: tt_lerp_eval(v, grid, p)
     vfn_prod = make_patched_value_fn(grid, vfn_tt, patch)
