@@ -65,15 +65,31 @@ class Grid:
                 assert len(nk) == shape[k], (k, len(nk), shape[k])
                 assert all(a < b for a, b in zip(nk, nk[1:])), \
                     f"dim {k}: nodes must be strictly increasing"
-                assert not periodic[k], \
-                    "periodic dims must be uniform (reference convention)"
-                assert abs(nk[0] - lb[k]) < 1e-9 and abs(nk[-1] - ub[k]) < 1e-9
-            # drop the override only when it is EXACTLY the uniform grid
-            # (bitwise after float round-trip) — a tolerance here would
-            # silently swap the stencil of a deliberately near-uniform
-            # grid (ADVICE r4 finding)
-            if all(np.array_equal(np.asarray(nk),
-                                  np.linspace(lb[k], ub[k], len(nk)))
+                if periodic[k]:
+                    # periodic dims must stay uniform (reference
+                    # convention); an override is accepted only if it IS
+                    # the canonical periodic node set — lets MIXED grids
+                    # (non-uniform bounded dims + periodic angle dims)
+                    # carry one override tuple (round-5 boundary-layer
+                    # coarse grids)
+                    canon = lb[k] + np.arange(shape[k]) * (
+                        (ub[k] - lb[k]) / shape[k])
+                    assert np.allclose(nk, canon, atol=1e-9), \
+                        "periodic dims must carry the uniform node set"
+                else:
+                    assert abs(nk[0] - lb[k]) < 1e-9 and \
+                        abs(nk[-1] - ub[k]) < 1e-9
+            # drop the override only when every dim is EXACTLY its
+            # canonical uniform node set (bitwise after float round-trip)
+            # — a tolerance here would silently swap the stencil of a
+            # deliberately near-uniform grid (ADVICE r4 finding)
+            def _canon(k):
+                if periodic[k]:
+                    return lb[k] + np.arange(shape[k]) * (
+                        (ub[k] - lb[k]) / shape[k])
+                return np.linspace(lb[k], ub[k], shape[k])
+
+            if all(np.array_equal(np.asarray(nk), _canon(k))
                    for k, nk in enumerate(override)):
                 override = None
         return Grid(tuple(map(float, lb)), tuple(map(float, ub)),

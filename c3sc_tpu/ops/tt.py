@@ -440,20 +440,35 @@ def tt_refine_grid(tt: TT, grid_coarse, grid_fine) -> TT:
     warm.
     """
     assert tt.ndim == grid_coarse.ndim == grid_fine.ndim
-    assert grid_coarse.uniform, "tt_refine_grid: non-uniform coarse grids unsupported"
     cores = []
     for k in range(tt.ndim):
-        xf = jnp.asarray(grid_fine.nodes(k))
-        hc = float(grid_coarse.h[k])
+        xf = np.asarray(grid_fine.nodes(k))
         nc = grid_coarse.shape[k]
-        t = (xf - grid_coarse.lb[k]) / hc
-        cell = jnp.floor(t).astype(jnp.int32)
-        hi = nc - 1 if grid_coarse.periodic[k] else nc - 2
-        cell = jnp.clip(cell, 0, max(hi, 0))
-        w = jnp.clip(t - cell, 0.0, 1.0).astype(tt.cores[k].dtype)
-        j1 = jnp.mod(cell + 1, nc) if grid_coarse.periodic[k] else jnp.clip(cell + 1, 0, nc - 1)
+        if grid_coarse.uniform or grid_coarse.nodes_override is None or \
+                grid_coarse.periodic[k]:
+            hc = float(grid_coarse.h[k])
+            t = (xf - grid_coarse.lb[k]) / hc
+            cell = np.floor(t).astype(np.int32)
+            hi = nc - 1 if grid_coarse.periodic[k] else nc - 2
+            cell = np.clip(cell, 0, max(hi, 0))
+            w = np.clip(t - cell, 0.0, 1.0)
+            j1 = (np.mod(cell + 1, nc) if grid_coarse.periodic[k]
+                  else np.clip(cell + 1, 0, nc - 1))
+        else:
+            # arbitrary coarse nodes (round-5: the boundary-layer-keeping
+            # coarse grids of solvers/twogrid.py are non-uniform)
+            xc = np.asarray(grid_coarse.nodes(k))
+            cell = np.clip(np.searchsorted(xc, xf, side="right") - 1,
+                           0, nc - 2).astype(np.int32)
+            gap = xc[cell + 1] - xc[cell]
+            w = np.clip((xf - xc[cell]) / gap, 0.0, 1.0)
+            j1 = cell + 1
+        cell = jnp.asarray(cell)
+        j1 = jnp.asarray(j1)
+        w = jnp.asarray(w, tt.cores[k].dtype)
         c = tt.cores[k]
-        cores.append(c[:, cell, :] * (1 - w)[None, :, None] + c[:, j1, :] * w[None, :, None])
+        cores.append(c[:, cell, :] * (1 - w)[None, :, None]
+                     + c[:, j1, :] * w[None, :, None])
     return TT(tuple(cores), tt.ranks)
 
 

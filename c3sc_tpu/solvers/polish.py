@@ -302,6 +302,7 @@ def mode_correct(
     seed: int = 13,
     chunk: int = 32768,
     damping: float = 1e-3,
+    ring_modes: bool = False,
     verbose: bool = False,
 ):
     """Slow-mode SUBSPACE defect correction (generalizes level_correct).
@@ -319,6 +320,15 @@ def mode_correct(
     Oracle-free; measured on the 9^6 quadcopter the scalar level mode
     alone recovers ~2.4% of range and leaves a zero-mean-defect smooth
     remainder — exactly what the linear modes target next.
+
+    ``ring_modes=True`` (round 5) adds one BOUNDARY-LAYER indicator mode
+    per bounded-dim face: phi = 1{x_k = node 1} (resp. node n-2). The
+    distance-1 layer next to each face is another slow direction — most
+    of a ring node's transition mass stays in the ring (moves along the
+    OTHER dims), so ring level error contracts slowly AND is invisible
+    to coarse grids that skip the layer. Measured on the 9^6 quad
+    (experiments/ring_diag.py): ring signed error -1.8% of range vs
+    interior 0.8% q95 — exactly a per-slab level.
     """
     if kernel is None:
         kernel = make_bellman_kernel(problem, grid,
@@ -346,6 +356,21 @@ def mode_correct(
                    for j in range(d_dims)]
         modes.append(tt_rank1(factors, R))
         mode_vals.append(np.asarray(ramp)[idx_np[:, k]])
+    if ring_modes:
+        from c3sc_tpu.models.base import Boundary
+
+        for k in range(d_dims):
+            if problem.boundary[k] == Boundary.PERIODIC:
+                continue
+            for j_ring in (1, shape[k] - 2):
+                spike = np.zeros(shape[k], np.float32)
+                spike[j_ring] = 1.0
+                factors = [jnp.asarray(spike) if j == k
+                           else jnp.ones(shape[j], jnp.float32)
+                           for j in range(d_dims)]
+                modes.append(tt_rank1(factors, R))
+                mode_vals.append(
+                    (idx_np[:, k] == j_ring).astype(np.float64))
     Phi = np.stack(mode_vals, axis=1)                      # [N, M]
     M = Phi.shape[1]
 

@@ -54,24 +54,53 @@ from c3sc_tpu.ops.tt import (TT, _repad, tt_add, tt_from_dense,
 from c3sc_tpu.solvers.ttvi import make_bellman_kernel
 
 
-def coarse_grid(grid: Grid) -> tuple[Grid, np.ndarray | None]:
-    """Every-other-node coarse grid + per-dim fine indices of coarse nodes.
+def coarse_grid(grid: Grid,
+                boundary_layer: bool = False) -> tuple[Grid, list]:
+    """Coarse grid + per-dim fine indices of the coarse nodes.
 
-    Bounded dims with odd n coarsen to (n+1)/2 nodes (endpoints kept —
+    Bounded dims with odd n coarsen to every-other-node ((n+1)/2 nodes,
     spacing exactly doubles). Periodic dims and even-n dims are NOT
     coarsened (an odd periodic ring has no uniform every-other subset).
+
+    ``boundary_layer=True`` (round-5): bounded dims KEEP the distance-1
+    nodes next to each face — indices [0, 1, 2, 4, ..., n-3, n-2, n-1] —
+    producing a NON-UNIFORM coarse grid (the round-4 unequal-spacing
+    Kushner-Dupuis stencil handles it). Rationale, measured on the 9^6
+    quad (experiments/ring_diag.py): the every-other-node grid CANNOT
+    represent a one-cell boundary layer, and exactly there the TT error
+    concentrates (ring q50 1.6% signed -1.8% vs interior 0.8% q95) —
+    the layer is where absorbing-boundary value error lives, and it is
+    what the local-patch Dirichlet data and the deployment controller
+    feel first.
+
     Returns (coarse Grid, fine_index[k] arrays).
     """
-    shape_c, fine_ix = [], []
+    fine_ix = []
+    any_nonuniform = False
     for k in range(grid.ndim):
         n = grid.shape[k]
-        if (not grid.periodic[k]) and n % 2 == 1 and n >= 5 and grid.uniform:
-            shape_c.append((n + 1) // 2)
-            fine_ix.append(np.arange(0, n, 2))
+        if (not grid.periodic[k]) and n % 2 == 1 and grid.uniform:
+            if boundary_layer and n >= 9:
+                ix = np.concatenate([[0, 1], np.arange(2, n - 2, 2),
+                                     [n - 2, n - 1]])
+                any_nonuniform = True
+            elif n >= 5:
+                ix = np.arange(0, n, 2)
+            else:
+                ix = np.arange(n)
         else:
-            shape_c.append(n)
-            fine_ix.append(np.arange(n))
-    gc = Grid.create(grid.lb, grid.ub, shape_c, grid.periodic)
+            ix = np.arange(n)
+        fine_ix.append(ix)
+    if any_nonuniform:
+        nodes = [np.asarray(grid.nodes(k))[fine_ix[k]]
+                 for k in range(grid.ndim)]
+        # periodic dims must stay uniform -> they were not subsampled
+        gc = Grid.create(grid.lb, grid.ub, [len(ix) for ix in fine_ix],
+                         grid.periodic,
+                         nodes=[nk.tolist() for nk in nodes])
+    else:
+        gc = Grid.create(grid.lb, grid.ub, [len(ix) for ix in fine_ix],
+                         grid.periodic)
     return gc, fine_ix
 
 
@@ -126,7 +155,8 @@ def coarse_correct(
     chunk: int = 32768,
     gate: bool = True,
     gate_slack: float = 1.05,
-    clip_mult: float = 6.0,
+    boundary_layer: bool = True,
+    clip_mult: float | None = None,
     alphas: Sequence[float] = (1.0, 0.5, 0.25),
     verbose: bool = False,
     node_value_fn=None,
@@ -140,13 +170,19 @@ def coarse_correct(
     wins (backtracking — a large coarse step from a rough base can
     overshoot).
 
+    ``boundary_layer=True`` uses the layer-keeping non-uniform coarse
+    grid (see ``coarse_grid``): the distance-1 nodes next to each bounded
+    face stay IN the coarse grid, so the boundary-layer error — where
+    absorbing-boundary TT error concentrates (ring signed -1.8% on the
+    9^6 quad while the interior sits at 0.8%, experiments/ring_diag.py)
+    — is representable and corrected instead of clipped away.
+
     ``clip_mult``: robust clipping of the restricted defect rate at
-    clip_mult x (1.48 median |d|) over non-terminal coarse nodes. On
-    problems with ABSORB faces the TT base smooths the exit-cost C0 jump
-    over one cell, so the face-ring defect is orders of magnitude above
-    the interior's — real, but a rough-mode artifact for the SMOOTHER,
-    not a smooth defect; unclipped it poisons the whole coarse solve
-    (measured: 9^6 quad, |e|_max 240 on a value range of 22).
+    clip_mult x (1.48 median |d|) on the terminal-ADJACENT ring. On an
+    every-other coarse grid the ring layer is unrepresentable and its C0
+    exit-cost jump poisons the whole solve (measured: |e|_max 240 on a
+    value range of 22); with the layer-keeping grid the ring is genuine
+    signal. Default (None): 0 when ``boundary_layer`` else 6.
     """
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
@@ -156,7 +192,9 @@ def coarse_correct(
     if kernel is None:
         kernel = make_bellman_kernel(problem, grid, uc, chunk=chunk,
                                      node_value_fn=node_value_fn)
-    gc, fine_ix = coarse_grid(grid)
+    if clip_mult is None:
+        clip_mult = 0.0 if boundary_layer else 6.0
+    gc, fine_ix = coarse_grid(grid, boundary_layer=boundary_layer)
     shape_c = gc.shape
     N_c = int(np.prod(shape_c))
 
@@ -239,7 +277,24 @@ def coarse_correct(
         rate = np.where(ring, np.clip(rate, -clip_mult * sig,
                                       clip_mult * sig), rate)
     rhs = np.where(tm, d_f, rate)
-    e_c = spla.spsolve(A.tocsc(), rhs)
+    if N_c <= 40_000:
+        e_c = spla.spsolve(A.tocsc(), rhs)
+    else:
+        # direct LU fill-in explodes with the d-dimensional stencil's
+        # bandwidth (~prod of trailing dims): the 7^6 layer-keeping system
+        # hit 9+ GB and minutes (measured). (I - gamma_c P_c) has
+        # kappa ~ 1/(beta dt_c) ~ 1e2, so a Krylov solve needs only
+        # ~1e2 thirteen-point matvecs.
+        Acsr = A.tocsr()
+        e_c, ok = spla.bicgstab(Acsr, rhs, rtol=1e-10, atol=0.0,
+                                maxiter=2000)
+        if ok != 0:
+            e_c, ok = spla.gmres(Acsr, rhs, rtol=1e-10, atol=0.0,
+                                 restart=50, maxiter=40, x0=e_c)
+            if ok != 0:
+                # unconverged correction is untrustworthy — let the gate
+                # see a zero correction rather than noise
+                e_c = np.zeros_like(rhs)
     e_dense = e_c.reshape(shape_c)
 
     # prolong: TT-SVD of the coarse correction, linelm-exact refinement

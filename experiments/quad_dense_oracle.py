@@ -218,7 +218,7 @@ def main():
           flush=True)
     from c3sc_tpu.ops.tt import tt_save
 
-    tt_save(os.path.join(ART, f"northstar_seed{args.seed}_v.npz"), v)
+    tt_save(v, os.path.join(ART, f"northstar_seed{args.seed}_v.npz"))
     np.savez(os.path.join(ART, f"northstar_seed{args.seed}_patch.npz"),
              v=np.asarray(patch.v), lo=patch.lo, hi=patch.hi)
 
