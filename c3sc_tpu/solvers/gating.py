@@ -116,3 +116,78 @@ def gated_apply(
         print(f"[gate:{name}] bres {b0:.4f}->{b1:.4f}{pr} "
               f"accepted={ok}", flush=True)
     return (v_new if ok else v), rec
+
+
+def probe_trim(
+    problem: ControlProblem,
+    grid: Grid,
+    controls,
+    v,
+    probe_fn=None,
+    dims=None,
+    deltas=(-0.04, -0.02, 0.0, 0.02, 0.04),
+    rounds: int = 2,
+    verbose: bool = False,
+):
+    """Oracle-free closed-loop TRIM of the slowest field modes.
+
+    Coordinate search over {level} + {per-dim centered ramps} coefficients
+    scored by the CRN greedy-probe cost — integral-action bias trim
+    against the production system's own realized cost. Motivation
+    (round 5, 9^6 quad): the deployment cost gap is a PARKING OFFSET
+    (tail z 0.29 vs oracle 0.21, experiments/park_diag.py) driven by
+    basin-scale value tilt that no defect- or residual-based objective
+    can see; the realized probe cost sees it directly. Out-of-sample
+    honesty: the probe keys are disjoint from the evaluation keys.
+
+    ``deltas`` are fractions of the value RANGE. Returns (v, history).
+    """
+    from c3sc_tpu.ops.tt import tt_constant, tt_rank1
+    from c3sc_tpu.solvers.twogrid import _blend   # jitted v + a*m + round
+
+    if probe_fn is None:
+        probe_fn = make_greedy_probe(problem, grid, controls)
+    if dims is None:
+        dims = list(range(problem.dx))
+    shape = tuple(grid.shape)
+    R = v.rmax
+    # value range estimate for delta scaling
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(np.stack([rng.integers(0, n, 2048)
+                                for n in shape], -1), jnp.int32)
+    vals = np.asarray(tt_gather_eval(v, pts))
+    vrange = max(float(vals.max() - vals.min()), 1e-9)
+
+    modes = [("level", tt_constant(shape, 1.0, R))]
+    for k in dims:
+        nk = np.asarray(grid.nodes(k), np.float32)
+        ramp = (nk - nk.mean()) / max(nk.max() - nk.min(), 1e-9)
+        factors = [jnp.asarray(ramp) if j == k
+                   else jnp.ones(shape[j], jnp.float32)
+                   for j in range(problem.dx)]
+        modes.append((f"ramp{k}", tt_rank1(factors, R)))
+
+    best_cost = probe_fn(v)
+    history = [{"stage": "init", "probe": best_cost}]
+    for rd in range(rounds):
+        improved = False
+        for name, m in modes:
+            cand_best = (0.0, v, best_cost)
+            for dl in deltas:
+                if dl == 0.0:
+                    continue
+                v_try = _blend(v, m, jnp.asarray(dl * vrange, jnp.float32))
+                c = probe_fn(v_try)
+                if c < cand_best[2]:
+                    cand_best = (dl, v_try, c)
+            if cand_best[0] != 0.0:
+                v, best_cost = cand_best[1], cand_best[2]
+                improved = True
+                history.append({"stage": f"r{rd}:{name}",
+                                "delta": cand_best[0], "probe": best_cost})
+                if verbose:
+                    print(f"[trim] {name} delta={cand_best[0]:+0.3f} "
+                          f"probe -> {best_cost:.4f}", flush=True)
+        if not improved:
+            break
+    return v, history

@@ -1,0 +1,225 @@
+"""Final pipeline stage: closed-loop probe trim + full artifact re-eval.
+
+Loads a seed's saved TT (experiments/artifacts/northstar_seed{K}_v.npz),
+applies the oracle-free composite probe trim (solvers/gating.probe_trim
+with a patch-aware probe: each candidate re-solves the local patch and
+scores the COMPOSITE field's CRN greedy cost — integral-action parking
+trim, see docs/DESIGN.md round-5), re-solves the final patch, and
+re-runs the full evaluation battery (value parity, greedy, iLQR-MPC,
+control agreement), rewriting NORTHSTAR_seed{K}.json with the trim
+history recorded.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u \
+       experiments/northstar_trim_eval.py --seed K
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from c3sc_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+import numpy as np
+
+from c3sc_tpu.models import make_quadcopter_problem
+from c3sc_tpu.models.base import Boundary
+from c3sc_tpu.ops.interp import multilinear_interp
+from c3sc_tpu.ops.tt import TT, tt_full, tt_lerp_eval, tt_load, tt_save
+from c3sc_tpu.sim import make_implicit_policy, rollout
+from c3sc_tpu.sim.mpc_shoot import receding_horizon_rollout
+from c3sc_tpu.sim.policy import q_values
+from c3sc_tpu.solvers.gating import probe_trim
+from c3sc_tpu.solvers.local_patch import (make_patched_value_fn,
+                                          solve_local_patch)
+
+ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, required=True)
+    ap.add_argument("--rollouts", type=int, default=256)
+    ap.add_argument("--chunk-roll", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--horizon", type=int, default=128)
+    ap.add_argument("--skip-trim", action="store_true")
+    args = ap.parse_args()
+
+    prob = make_quadcopter_problem(sigma_v=0.15, sigma_om=0.15)
+    grid = prob.default_grid(9)
+    controls = prob.control_candidates(5)
+    uc = jnp.asarray(controls, jnp.float32)
+    with np.load(os.path.join(ART, "quad_dense_v9.npz")) as z:
+        v_dense = jnp.asarray(z["v"])
+        dense_wall = 55.0
+    vd = np.asarray(v_dense, np.float64)
+    vrange = vd.max() - vd.min()
+    sl = tuple(slice(1, -1) if b == Boundary.ABSORB else slice(None)
+               for b in prob.boundary)
+    v = tt_load(os.path.join(ART, f"northstar_seed{args.seed}_v.npz"))
+
+    # ---- composite-aware CRN probe (patch re-solved per candidate) ----
+    lo, hi = tuple([1] * 6), tuple([7] * 6)
+    prng = np.random.default_rng(777)   # disjoint from eval keys
+    x0p = jnp.asarray(0.4 * prng.uniform(-1, 1, (24, 6))
+                      * np.asarray([2.0, 2.0, 1.0, 3.0, 3.0, 4.0]),
+                      jnp.float32)
+    pkey = jax.random.key(31337)
+
+    @jax.jit
+    def _probe_cost(v_tt: TT, patch_v):
+        sub_lb = jnp.asarray([grid.nodes(k)[1] for k in range(6)],
+                             jnp.float32)
+        sub_ub = jnp.asarray([grid.nodes(k)[7] for k in range(6)],
+                             jnp.float32)
+        from c3sc_tpu.grids import Grid
+        subgrid = Grid.create(np.asarray(sub_lb), np.asarray(sub_ub),
+                              (7,) * 6)
+
+        def vfn(p):
+            inside = jnp.all((p >= sub_lb) & (p <= sub_ub), axis=-1)
+            v_loc = multilinear_interp(subgrid, patch_v,
+                                       jnp.clip(p, sub_lb, sub_ub))
+            return jnp.where(inside, v_loc, tt_lerp_eval(v_tt, grid, p))
+
+        pol = make_implicit_policy(prob, grid, vfn, uc)
+        tr = rollout(prob, grid, pol, x0p, pkey, 0.01, 250)
+        return jnp.mean(tr.cost)
+
+    def probe(v_tt):
+        patch = solve_local_patch(
+            prob, grid, lambda p: tt_lerp_eval(v_tt, grid, p), controls,
+            margin=1, tol=3e-5)
+        return float(_probe_cost(v_tt, patch.v))
+
+    t0 = time.time()
+    trim_hist = []
+    if not args.skip_trim:
+        v, trim_hist = probe_trim(prob, grid, controls, v, probe_fn=probe,
+                                  dims=[0, 1], rounds=2,
+                                  deltas=(-0.03, -0.015, 0.015, 0.03),
+                                  verbose=True)
+    wall_trim = time.time() - t0
+    tt_save(v, os.path.join(ART, f"northstar_seed{args.seed}_v_trim.npz"))
+
+    patch = solve_local_patch(prob, grid,
+                              lambda p: tt_lerp_eval(v, grid, p),
+                              controls, margin=1, tol=1e-5)
+    vfn_tt = lambda p: tt_lerp_eval(v, grid, p)
+    vfn_prod = make_patched_value_fn(grid, vfn_tt, patch)
+    vfn_dense = lambda p: multilinear_interp(grid, v_dense, p)
+
+    def parity(v_full):
+        rel = np.abs(v_full - vd) / max(vrange, 1e-9)
+        return {
+            "full": {"q50": float(np.quantile(rel, 0.5)),
+                     "q95": float(np.quantile(rel, 0.95)),
+                     "max": float(rel.max())},
+            "interior": {"q50": float(np.quantile(rel[sl], 0.5)),
+                         "q95": float(np.quantile(rel[sl], 0.95)),
+                         "max": float(rel[sl].max())},
+        }
+
+    mesh_x = jnp.asarray(np.stack([m.ravel() for m in grid.meshgrid()], -1),
+                         jnp.float32)
+    v_comp = np.asarray(jax.jit(vfn_prod)(mesh_x)).reshape(grid.shape)
+    par_polish = parity(np.asarray(tt_full(v), np.float64))
+    par_prod = parity(v_comp.astype(np.float64))
+    print(f"value parity interior q95: TT "
+          f"{par_polish['interior']['q95']:.3%} deployed "
+          f"{par_prod['interior']['q95']:.3%}", flush=True)
+
+    rng = np.random.default_rng(4242)
+    B, CH = args.rollouts, args.chunk_roll
+    x0 = jnp.asarray(0.4 * rng.uniform(-1, 1, (B, 6))
+                     * np.asarray([2.0, 2.0, 1.0, 3.0, 3.0, 4.0]),
+                     jnp.float32)
+
+    def eval_greedy(vfn):
+        pol = make_implicit_policy(prob, grid, vfn, controls)
+        cs, al = [], []
+        for i in range(B // CH):
+            tr = rollout(prob, grid, pol, x0[i*CH:(i+1)*CH],
+                         jax.random.key(1000 + i), dt=0.01,
+                         n_steps=args.steps)
+            cs.append(np.asarray(tr.cost))
+            al.append(np.asarray(tr.alive[-1]))
+        return (float(np.concatenate(cs).mean()),
+                float(np.concatenate(al).mean()))
+
+    def eval_mpc(vfn):
+        cs, al = [], []
+        for i in range(B // CH):
+            tr = receding_horizon_rollout(
+                prob, grid, vfn, x0[i*CH:(i+1)*CH], jax.random.key(1000 + i),
+                dt=0.01, n_steps=args.steps, horizon=args.horizon,
+                replan_every=4, opt_iters=8, controls=controls)
+            cs.append(np.asarray(tr.cost))
+            al.append(np.asarray(tr.alive[-1]))
+        return (float(np.concatenate(cs).mean()),
+                float(np.concatenate(al).mean()))
+
+    c_o, surv_o = eval_greedy(vfn_dense)
+    c_p, surv_p = eval_greedy(vfn_prod)
+    cost_rel = abs(c_p - c_o) / max(abs(c_o), 1e-9)
+    print(f"greedy: prod={c_p:.4f} dense={c_o:.4f} rel={cost_rel:.2%}",
+          flush=True)
+    cm_o, _ = eval_mpc(vfn_dense)
+    cm_p, sm_p = eval_mpc(vfn_prod)
+    signed = (cm_p - cm_o) / max(abs(cm_o), 1e-9)
+    print(f"mpc: prod={cm_p:.4f} dense={cm_o:.4f} signed={signed:+.2%}",
+          flush=True)
+
+    pol_prod = make_implicit_policy(prob, grid, vfn_prod, controls)
+    pol_dense = make_implicit_policy(prob, grid, vfn_dense, controls)
+    tr_o = rollout(prob, grid, pol_dense, x0[:CH], jax.random.key(1000),
+                   dt=0.01, n_steps=args.steps)
+    xs = np.asarray(tr_o.xs[:-1]).reshape(-1, 6)
+    alive_m = np.asarray(tr_o.alive[:-1]).reshape(-1)
+    xs = jnp.asarray(xs[alive_m][:4096], jnp.float32)
+    u_p = np.asarray(pol_prod(xs))
+    u_o = np.asarray(pol_dense(xs))
+    agree = float((np.abs(u_p - u_o) < 1e-6).all(axis=-1).mean())
+
+    path = os.path.join(ROOT, f"NORTHSTAR_seed{args.seed}.json")
+    with open(path) as f:
+        result = json.load(f)
+    tol = result["tolerance"]
+    result["production"]["probe_trim"] = {
+        "history": trim_hist, "wall_s": round(wall_trim, 1),
+        "note": ("oracle-free closed-loop parking trim of level + "
+                 "position ramps against the composite CRN probe "
+                 "(solvers/gating.probe_trim); probe keys disjoint "
+                 "from evaluation keys")}
+    result["production"]["mean_cost"] = c_p
+    result["production"]["survival"] = surv_p
+    result["value_parity_rel_to_range"]["polished_tt"] = par_polish
+    result["value_parity_rel_to_range"]["deployed_composite"] = par_prod
+    result["cost_rel_deviation"] = cost_rel
+    result["greedy_pass_two_sided"] = bool(
+        cost_rel <= tol["cost_rel"] and surv_p >= tol["survival_min"])
+    result["deployment_mpc"].update(
+        mean_cost=cm_p, oracle_mean_cost=cm_o, survival=sm_p,
+        signed_rel=signed,
+        pass_one_sided=bool(signed <= tol["cost_rel"]
+                            and sm_p >= tol["survival_min"]))
+    result["control_agreement"]["candidate_exact"] = agree
+    result["pass"] = bool(
+        surv_p >= tol["survival_min"]
+        and par_prod["interior"]["q95"] <= tol["value_q95_max"]
+        and result["deployment_mpc"]["pass_one_sided"])
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"seed": args.seed, "pass": result["pass"],
+                      "q95": par_prod["interior"]["q95"],
+                      "greedy_rel": cost_rel, "mpc_signed": signed}))
+
+
+if __name__ == "__main__":
+    main()

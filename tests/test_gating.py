@@ -75,3 +75,36 @@ def test_probe_gate_catches_policy_damage(pendulum_v):
                              name="zero", bres_slack=1e9, probe_fn=probe)
     assert not rec.accepted
     assert v_out is v
+
+
+@pytest.mark.slow
+def test_probe_trim_recovers_injected_tilt(pendulum_v):
+    """probe_trim must claw back probe cost after an injected ramp tilt
+    (the parking-offset mechanism, in miniature) and never return a
+    worse-probing iterate than its input."""
+    import jax.numpy as jnp
+
+    from c3sc_tpu.ops.tt import tt_rank1, tt_scale
+    from c3sc_tpu.solvers.gating import probe_trim
+    from c3sc_tpu.solvers.twogrid import _blend
+
+    prob, grid, controls, v = pendulum_v
+    probe = make_greedy_probe(prob, grid, controls, n_rollouts=16,
+                              n_steps=200)
+    c_clean = probe(v)
+    # inject a 6%-of-range tilt along omega
+    nk = np.asarray(grid.nodes(1), np.float32)
+    ramp = (nk - nk.mean()) / (nk.max() - nk.min())
+    tilt = tt_rank1([jnp.ones(grid.shape[0], jnp.float32),
+                     jnp.asarray(ramp)], v.rmax)
+    vals = np.asarray(
+        np.abs(np.asarray(v.cores[0])).max())  # scale proxy unused
+    v_bad = _blend(v, tilt, jnp.asarray(0.06 * 21.0, jnp.float32))
+    c_bad = probe(v_bad)
+    v_fix, hist = probe_trim(prob, grid, controls, v_bad, probe_fn=probe,
+                             dims=[1], rounds=2)
+    c_fix = probe(v_fix)
+    assert c_fix <= c_bad + 1e-6
+    # recovered at least half of the injected damage (if any)
+    if c_bad > c_clean * 1.02:
+        assert c_fix < c_clean + 0.5 * (c_bad - c_clean)
