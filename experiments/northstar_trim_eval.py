@@ -72,16 +72,16 @@ def main():
                       jnp.float32)
     pkey = jax.random.key(31337)
 
+    from c3sc_tpu.grids import Grid
+
+    sub_lb_np = np.asarray([grid.nodes(k)[1] for k in range(6)])
+    sub_ub_np = np.asarray([grid.nodes(k)[7] for k in range(6)])
+    subgrid = Grid.create(sub_lb_np, sub_ub_np, (7,) * 6)
+    sub_lb = jnp.asarray(sub_lb_np, jnp.float32)
+    sub_ub = jnp.asarray(sub_ub_np, jnp.float32)
+
     @jax.jit
     def _probe_cost(v_tt: TT, patch_v):
-        sub_lb = jnp.asarray([grid.nodes(k)[1] for k in range(6)],
-                             jnp.float32)
-        sub_ub = jnp.asarray([grid.nodes(k)[7] for k in range(6)],
-                             jnp.float32)
-        from c3sc_tpu.grids import Grid
-        subgrid = Grid.create(np.asarray(sub_lb), np.asarray(sub_ub),
-                              (7,) * 6)
-
         def vfn(p):
             inside = jnp.all((p >= sub_lb) & (p <= sub_ub), axis=-1)
             v_loc = multilinear_interp(subgrid, patch_v,
