@@ -129,7 +129,7 @@ def make_plan_fn(
 
 def _rh_rollout(problem, grid, value_fn, x0, u_init, key, dt, n_steps,
                 horizon, replan_every, opt_iters, lr, greedy_seed=None,
-                planner="ilqr"):
+                planner="ilqr", terminal_lqr=None):
     B = x0.shape[0]
     dtf = jnp.asarray(dt, x0.dtype)
     sqdt = jnp.sqrt(dtf)
@@ -162,11 +162,30 @@ def _rh_rollout(problem, grid, value_fn, x0, u_init, key, dt, n_steps,
         return plan(x, u_seq)
 
     def step(carry, inp):
-        x, u_seq, cost, alive, t, texit = carry
+        x, u_seq, cost, alive, t, texit, tmode = carry
         k, i = inp
         u_seq = jax.lax.cond(i % replan_every == 0,
                              lambda: replan(x, u_seq), lambda: u_seq)
         u = u_seq[:, 0]
+        if terminal_lqr is not None:
+            # dual-mode MPC: once a sample first enters the terminal
+            # basin it LATCHES into the exact discounted hover-LQR
+            # (field-independent; sim/terminal.py docstring has the
+            # measured rationale). Latching matters: a momentary
+            # membership test lets a tilted value field fight the LQR at
+            # the basin shell — measured on the 9^6 quad as a limit
+            # cycle riding the boundary at radius-0.6 state cost (prod
+            # 1.156 vs latched transient-only gaps; experiments/
+            # dualmode_sweep.log). The basin is forward-invariant for
+            # the LQR (tests/test_terminal.py regulation check), so the
+            # latch is the textbook dual-mode commit.
+            from c3sc_tpu.sim.terminal import terminal_control
+
+            ulb = jnp.asarray(problem.ulb, x0.dtype)
+            uub = jnp.asarray(problem.uub, x0.dtype)
+            u_lqr, in_basin = terminal_control(terminal_lqr, x, ulb, uub)
+            tmode = tmode | in_basin
+            u = jnp.where(tmode[:, None], u_lqr, u)
         # plant: true stochastic dynamics + true boundary semantics,
         # cost accounting identical to integrators.rollout
         f = drift_b(x, u)
@@ -185,14 +204,18 @@ def _rh_rollout(problem, grid, value_fn, x0, u_init, key, dt, n_steps,
         texit = jnp.where(newly, t + dtf, texit)
         # receding horizon: consume the applied action, hold the last
         u_seq = jnp.concatenate([u_seq[:, 1:], u_seq[:, -1:]], axis=1)
-        return (xn, u_seq, cost, alive_next, t + dtf, texit), (xn, u, alive_next)
+        return ((xn, u_seq, cost, alive_next, t + dtf, texit, tmode),
+                (xn, u, alive_next))
 
     keys = jax.random.split(key, n_steps)
     cost0 = jnp.zeros(B, x0.dtype)
     alive0 = jnp.ones(B, bool)
     texit0 = jnp.full(B, n_steps * dt, x0.dtype)
-    (xT, _, cost, aliveT, _, texit), (xs, us, alives) = jax.lax.scan(
-        step, (x0, u_init, cost0, alive0, jnp.asarray(0.0, x0.dtype), texit0),
+    tmode0 = jnp.zeros(B, bool)  # terminal-mode latch (dual-mode MPC)
+    (xT, _, cost, aliveT, _, texit, _), (xs, us, alives) = jax.lax.scan(
+        step,
+        (x0, u_init, cost0, alive0, jnp.asarray(0.0, x0.dtype), texit0,
+         tmode0),
         (keys, jnp.arange(n_steps)),
     )
     xs = jnp.concatenate([x0[None], xs], axis=0)
@@ -215,6 +238,7 @@ def receding_horizon_rollout(
     u_init=None,
     controls=None,
     planner: str = "ilqr",
+    terminal_lqr=None,
 ) -> Trajectory:
     """Closed-loop receding-horizon MPC rollout (see module docstring).
 
@@ -223,6 +247,11 @@ def receding_horizon_rollout(
     Plant noise/boundaries/cost accounting match ``integrators.rollout``
     exactly, so CRN comparisons against the greedy implicit policy are
     apples-to-apples.
+
+    terminal_lqr: optional ``sim.terminal.TerminalLQR`` — enables dual-mode
+    deployment: each sample latches into the exact goal-basin LQR on first
+    basin entry (see sim/terminal.py for the measured rationale; the latch
+    semantics are documented at the override site in ``_rh_rollout``).
     """
     B = x0.shape[0]
     greedy_seed = None
@@ -249,7 +278,7 @@ def receding_horizon_rollout(
     run = jax.jit(lambda x0, u0, k: _rh_rollout(
         problem, grid, value_fn, x0, u0, k, float(dt), int(n_steps),
         int(horizon), int(replan_every), int(opt_iters), float(lr),
-        greedy_seed=greedy_seed, planner=planner))
+        greedy_seed=greedy_seed, planner=planner, terminal_lqr=terminal_lqr))
     return run(jnp.asarray(x0), u_init, key)
 
 

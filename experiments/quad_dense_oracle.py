@@ -112,6 +112,10 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--horizon", type=int, default=128)
     ap.add_argument("--dense-tol", type=float, default=1e-5)
+    ap.add_argument("--terminal-radius", type=float, default=0.4,
+                    help="dual-mode MPC terminal-LQR basin radius (scaled "
+                         "2-norm); 0 disables — see sim/terminal.py for "
+                         "the measured parking-lottery rationale")
     ap.add_argument("--skip-mpc", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -258,13 +262,20 @@ def main():
         return (float(np.concatenate(cs).mean()),
                 float(np.concatenate(al).mean()))
 
+    tlqr = None
+    if args.terminal_radius > 0:
+        from c3sc_tpu.sim.terminal import make_terminal_lqr
+
+        tlqr = make_terminal_lqr(prob, dt=0.01, radius=args.terminal_radius)
+
     def eval_mpc(vfn):
         cs, al = [], []
         for i in range(B // CH):
             tr = receding_horizon_rollout(
                 prob, grid, vfn, x0[i*CH:(i+1)*CH], jax.random.key(1000 + i),
                 dt=0.01, n_steps=args.steps, horizon=args.horizon,
-                replan_every=4, opt_iters=8, controls=controls)
+                replan_every=4, opt_iters=8, controls=controls,
+                terminal_lqr=tlqr)
             cs.append(np.asarray(tr.cost))
             al.append(np.asarray(tr.alive[-1]))
         return (float(np.concatenate(cs).mean()),
@@ -284,6 +295,13 @@ def main():
         mpc_row = {
             "mean_cost": cm_p, "oracle_mean_cost": cm_o, "survival": sm_p,
             "signed_rel": (cm_p - cm_o) / max(abs(cm_o), 1e-9),
+            "controller": ("dual-mode: receding-horizon iLQR + terminal "
+                           "basin LQR (sim/terminal.py), identical for "
+                           "production and oracle fields under CRN"
+                           if tlqr is not None else
+                           "receding-horizon iLQR (pure MPC)"),
+            "terminal_lqr": ({"radius": args.terminal_radius}
+                             if tlqr is not None else None),
             "note": ("one-sided deployment check: production must not be "
                      "WORSE than the oracle-value controller by more than "
                      "tol; negative signed_rel = production realizes LOWER "
